@@ -1,0 +1,208 @@
+"""Pure-functional NN primitives with PyTorch-compatible semantics.
+
+Design: inference models in this framework are pure functions over a FLAT
+parameter dict keyed by the original PyTorch state-dict names (weights are
+converted once by :mod:`.torch_loader`). This makes checkpoint conversion
+mechanical and auditable, keeps everything a plain JAX pytree for jit/pjit,
+and avoids framework-module overhead on the hot path.
+
+All spatial ops are NHWC (TPU-native layout). Padding is always explicit so
+stride-2 convolutions match torch's symmetric padding (XLA 'SAME' pads
+asymmetrically for even sizes and would break checkpoint parity).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = dict
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
+           padding: Union[int, Tuple[int, int]] = 0, dilation: int = 1,
+           groups: int = 1) -> Array:
+    """torch.nn.functional.conv2d equivalent; w is HWIO."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), pad,
+        rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def conv_transpose2d(x: Array, w: Array, b: Optional[Array] = None,
+                     stride: int = 2, padding: int = 1,
+                     kernel_size: int = 4) -> Array:
+    """torch.nn.ConvTranspose2d(k, s, p) equivalent.
+
+    ``w`` is stored HWIO *post conversion* (torch IOHW → flip spatial + HWIO,
+    handled by torch_loader), so this reduces to an input-dilated conv:
+    insert (s-1) zeros between pixels, pad by (k - 1 - p), then a VALID conv.
+    """
+    k = kernel_size
+    pad = k - 1 - padding
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        lhs_dilation=(stride, stride), dimension_numbers=_DN,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def batch_norm(x: Array, scale: Array, bias: Array, mean: Array, var: Array,
+               eps: float = 1e-5) -> Array:
+    """Inference-mode BatchNorm folded to a single multiply-add."""
+    inv = (scale / jnp.sqrt(var + eps)).astype(x.dtype)
+    return x * inv + (bias - mean * scale / jnp.sqrt(var + eps)).astype(x.dtype)
+
+
+def group_norm(x: Array, num_groups: int, scale: Array, bias: Array,
+               eps: float = 1e-5) -> Array:
+    n, h, w, c = x.shape
+    xg = x.reshape(n, h, w, num_groups, c // num_groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(n, h, w, c)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def linear(x: Array, w: Array, b: Optional[Array] = None) -> Array:
+    """w is (in, out) post conversion (torch stores (out, in))."""
+    out = jnp.dot(x, w.astype(x.dtype),
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def max_pool2d(x: Array, kernel: int, stride: int, padding: int = 0) -> Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, kernel, kernel, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+
+
+def avg_pool2d(x: Array, kernel: int, stride: int, padding: int = 0) -> Array:
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+    if padding == 0:
+        return s / (kernel * kernel)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    cnt = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+    return s / cnt
+
+
+def relu(x: Array) -> Array:
+    return jnp.maximum(x, 0)
+
+
+def gelu(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sigmoid(x: Array) -> Array:
+    return jax.nn.sigmoid(x)
+
+
+def interpolate_nearest(x: Array, scale: int) -> Array:
+    n, h, w, c = x.shape
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)
+
+
+def interpolate_bilinear(x: Array, out_hw: Tuple[int, int],
+                         align_corners: bool = False) -> Array:
+    n, h, w, c = x.shape
+    if align_corners:
+        # torch align_corners=True semantics
+        oh, ow = out_hw
+        ys = jnp.linspace(0, h - 1, oh)
+        xs = jnp.linspace(0, w - 1, ow)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (ys - y0)[None, :, None, None]
+        wx = (xs - x0)[None, None, :, None]
+        a = x[:, y0][:, :, x0]
+        b = x[:, y0][:, :, x1]
+        cc = x[:, y1][:, :, x0]
+        d = x[:, y1][:, :, x1]
+        return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+                + cc * wy * (1 - wx) + d * wy * wx).astype(x.dtype)
+    return jax.image.resize(x, (n,) + tuple(out_hw) + (c,), method='linear')
+
+
+# --------------------------------------------------------------------------
+# Parameter access helpers over the flat torch-keyed dict
+# --------------------------------------------------------------------------
+
+class P:
+    """Scoped view over a flat param dict: P(params, 'backbone')['conv1.weight']."""
+
+    __slots__ = ('d', 'prefix')
+
+    def __init__(self, d: Params, prefix: str = ''):
+        self.d = d
+        self.prefix = prefix
+
+    def __getitem__(self, key: str) -> Array:
+        return self.d[f'{self.prefix}{key}' if not self.prefix
+                      else f'{self.prefix}.{key}']
+
+    def __contains__(self, key: str) -> bool:
+        k = f'{self.prefix}.{key}' if self.prefix else key
+        return k in self.d
+
+    def scope(self, sub: str) -> 'P':
+        return P(self.d, f'{self.prefix}.{sub}' if self.prefix else sub)
+
+    def conv(self, name: str, x: Array, stride: int = 1, padding: int = 0,
+             dilation: int = 1, groups: int = 1) -> Array:
+        b = self[f'{name}.bias'] if f'{name}.bias' in self else None
+        return conv2d(x, self[f'{name}.weight'], b, stride, padding,
+                      dilation, groups)
+
+    def conv_t(self, name: str, x: Array, stride: int = 2, padding: int = 1,
+               kernel_size: int = 4) -> Array:
+        b = self[f'{name}.bias'] if f'{name}.bias' in self else None
+        return conv_transpose2d(x, self[f'{name}.weight'], b, stride, padding,
+                                kernel_size)
+
+    def bn(self, name: str, x: Array, eps: float = 1e-5) -> Array:
+        return batch_norm(x, self[f'{name}.weight'], self[f'{name}.bias'],
+                          self[f'{name}.running_mean'],
+                          self[f'{name}.running_var'], eps)
+
+    def ln(self, name: str, x: Array, eps: float = 1e-5) -> Array:
+        return layer_norm(x, self[f'{name}.weight'], self[f'{name}.bias'], eps)
+
+    def dense(self, name: str, x: Array) -> Array:
+        b = self[f'{name}.bias'] if f'{name}.bias' in self else None
+        return linear(x, self[f'{name}.weight'], b)

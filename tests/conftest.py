@@ -6,11 +6,21 @@ path via __graft_entry__.dryrun_multichip).
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the surrounding environment may point JAX at a remote TPU
+# (JAX_PLATFORMS=axon), which would funnel every test compile through the
+# tunnel. Tests always run on the virtual host mesh.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# sitecustomize may import jax before this conftest runs, freezing
+# JAX_PLATFORMS at its env value — override through the config API, which
+# works any time before backend initialization.
+jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
 
