@@ -1,0 +1,155 @@
+"""Default detector: DBNet-ResNet34 on TPU.
+
+Contract from reference ``detection/default.py`` (checkpoint
+detect-20241225.ckpt, /127.5-1 normalization, bilateral prefilter, pad to
+multiple of 256, webtoon rearrange, SegDetectorRepresenter postprocess).
+
+TPU design: bilateral filter + resize + normalize + network + sigmoid run as
+ONE jitted program per canonical shape; webtoon pages run the whole tile batch
+in a single forward instead of the reference's python loop over batches of 4.
+Only contour extraction runs on host.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.dbnet import (
+    TRANSPOSED_CONV_PATTERNS,
+    dbnet_forward,
+    init_params,
+)
+from ..models.torch_loader import convert_state_dict
+from ..ops.bilateral import bilateral_filter
+from ..ops.tiling import extract_squares, needs_tiling, plan_tiles, stitch_maps
+from ..utils.geometry import Quadrilateral
+from .common import OfflineDetector
+from .db_postprocess import DBPostprocess
+
+PAD_MULT = 256  # reference imgproc.resize_aspect_ratio pads to 256
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _forward_batch(params: dict, batch: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(N, H, W, 3) uint8 -> (prob (N,H,W), thresh (N,H,W), mask (N,H/2,W/2))."""
+    x = batch.astype(jnp.float32) / 127.5 - 1.0
+    db, mask = dbnet_forward(params, x)
+    prob = jax.nn.sigmoid(db[..., 0])
+    return prob, mask[..., 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_h', 'out_w', 'pad_h', 'pad_w'))
+def _preprocess_page(img: jax.Array, out_h: int, out_w: int,
+                     pad_h: int, pad_w: int) -> jax.Array:
+    """bilateral filter + resize + pad, on device."""
+    smoothed = bilateral_filter(img, 17, 80.0, 80.0)
+    resized = jax.image.resize(
+        smoothed.astype(jnp.float32), (out_h, out_w, 3), method='linear')
+    padded = jnp.pad(resized, ((0, pad_h), (0, pad_w), (0, 0)))
+    return padded
+
+
+class DefaultDetector(OfflineDetector):
+    """DBNet-ResNet34 'default' detector."""
+
+    _MODEL_MAPPING = {
+        'model': {
+            'url': 'https://github.com/zyddnys/manga-image-translator/releases'
+                   '/download/beta-0.3/detect-20241225.ckpt',
+            'hash': '67ce1c4ed4793860f038c71189ba9630a7756f7683b1ee5afb69ca0687dc502e',
+            'file': '.',
+        },
+    }
+
+    def __init__(self):
+        super().__init__()
+        self.params: Optional[dict] = None
+
+    async def _load(self, device: str):
+        self.params = self.load_params_converted(
+            'model',
+            lambda sd: convert_state_dict(
+                sd, transposed_conv_patterns=TRANSPOSED_CONV_PATTERNS),
+            init_fn=lambda: init_params(jax.random.PRNGKey(0)))
+
+    async def _unload(self):
+        self.params = None
+
+    async def _infer(self, image: np.ndarray, detect_size: int,
+                     text_threshold: float, box_threshold: float,
+                     unclip_ratio: float, verbose: bool = False):
+        im_h, im_w = image.shape[:2]
+
+        if needs_tiling(im_h, im_w, detect_size):
+            prob, mask, (res_h, res_w), ratio, pads = self._forward_tiled(
+                image, detect_size)
+        else:
+            prob, mask, (res_h, res_w), ratio, pads = self._forward_single(
+                image, detect_size)
+        pad_h, pad_w = pads
+
+        det = DBPostprocess(text_threshold, box_threshold,
+                            unclip_ratio=unclip_ratio)
+        boxes, scores = det(prob, res_w, res_h)
+        if boxes.shape[0]:
+            keep = boxes.reshape(boxes.shape[0], -1).sum(axis=1) > 0
+            polys = boxes[keep].astype(np.float64)
+            polys *= (1.0 / ratio)
+            polys = polys.astype(np.int64)
+            scores = scores[keep]
+        else:
+            polys, scores = boxes, scores
+
+        textlines = [Quadrilateral(pts.astype(int), '', float(score))
+                     for pts, score in zip(polys, scores)]
+        textlines = [q for q in textlines if q.area > 16]
+
+        # mask comes out at 1/2 the network input; restore to input res
+        mask_resized = cv2.resize(mask, (mask.shape[1] * 2, mask.shape[0] * 2),
+                                  interpolation=cv2.INTER_LINEAR)
+        if pad_h > 0:
+            mask_resized = mask_resized[:-pad_h, :]
+        if pad_w > 0:
+            mask_resized = mask_resized[:, :-pad_w]
+        raw_mask = np.clip(mask_resized * 255, 0, 255).astype(np.uint8)
+        return textlines, raw_mask, None
+
+    # -- device paths ----------------------------------------------------------
+    def _forward_single(self, image: np.ndarray, detect_size: int):
+        im_h, im_w = image.shape[:2]
+        ratio = detect_size / max(im_h, im_w)
+        target_h, target_w = int(round(im_h * ratio)), int(round(im_w * ratio))
+        pad_h = (-target_h) % PAD_MULT
+        pad_w = (-target_w) % PAD_MULT
+        page = _preprocess_page(jnp.asarray(image), target_h, target_w,
+                                pad_h, pad_w)
+        prob, mask = _forward_batch(self.params, page[None])
+        prob = np.asarray(prob[0], dtype=np.float32)
+        mask = np.asarray(mask[0], dtype=np.float32)
+        return (prob, mask, (target_h + pad_h, target_w + pad_w), ratio,
+                (pad_h, pad_w))
+
+    def _forward_tiled(self, image: np.ndarray, detect_size: int):
+        im_h, im_w = image.shape[:2]
+        plan = plan_tiles(im_h, im_w, detect_size)
+        squares = extract_squares(jnp.asarray(image), plan)
+        n, s, _, _ = squares.shape
+        batch = jax.image.resize(
+            squares.astype(jnp.float32), (n, detect_size, detect_size, 3),
+            method='linear')
+        prob, mask = _forward_batch(self.params, batch)
+        prob_full = np.asarray(stitch_maps(
+            jax.image.resize(prob[..., None], (n, s, s, 1), 'linear'),
+            plan)[..., 0], dtype=np.float32)
+        mask_full = np.asarray(stitch_maps(
+            jax.image.resize(mask[..., None], (n, s // 2, s // 2, 1),
+                             'linear'), plan)[..., 0], dtype=np.float32)
+        return prob_full, mask_full, (im_h, im_w), 1.0, (0, 0)

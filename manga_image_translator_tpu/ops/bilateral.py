@@ -1,0 +1,56 @@
+"""Bilateral filter on device.
+
+The reference smooths the page with cv2.bilateralFilter(img, 17, 80, 80)
+before detection (detection/default.py:64) — a host call that costs seconds at
+2048px. Here it is a jittable windowed filter: a fori_loop over window
+offsets with rolled shifts, so compile size stays constant while the VPU does
+the elementwise work fused with the rest of the detection preamble.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('d', 'sigma_color', 'sigma_space'))
+def bilateral_filter(img: jax.Array, d: int = 17, sigma_color: float = 80.0,
+                     sigma_space: float = 80.0) -> jax.Array:
+    """Edge-preserving smoothing of an (H, W, C) image.
+
+    Matches cv2.bilateralFilter semantics: window diameter ``d``, gaussian
+    space weight over pixel distance, gaussian color weight over intensity
+    difference (summed over channels per cv2).
+    """
+    radius = d // 2
+    x = img.astype(jnp.float32)
+
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if dy * dy + dx * dx <= radius * radius]
+    offsets = jnp.asarray(np.array(offs, dtype=np.int32))
+    space_w = jnp.asarray(
+        np.exp(-(np.array(offs) ** 2).sum(1)
+               / (2.0 * sigma_space ** 2)).astype(np.float32))
+
+    gauss_color = -1.0 / (2.0 * sigma_color ** 2)
+
+    def body(i, carry):
+        acc, norm = carry
+        dy = offsets[i, 0]
+        dx = offsets[i, 1]
+        shifted = jnp.roll(x, (-dy, -dx), axis=(0, 1))
+        cdiff = jnp.abs(shifted - x).sum(axis=-1, keepdims=True)
+        w = space_w[i] * jnp.exp(gauss_color * cdiff * cdiff)
+        return acc + w * shifted, norm + w
+
+    acc, norm = jax.lax.fori_loop(
+        0, len(offs), body,
+        (jnp.zeros_like(x), jnp.zeros(x.shape[:2] + (1,), jnp.float32)))
+    out = acc / jnp.maximum(norm, 1e-8)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(img.dtype)

@@ -81,13 +81,12 @@ def extract_squares(img: jax.Array, plan: TilePlan) -> jax.Array:
     return squares
 
 
-def stitch_maps(maps: jax.Array, plan: TilePlan, out_scale: float = 1.0
-                ) -> jax.Array:
+def stitch_maps(maps: jax.Array, plan: TilePlan) -> jax.Array:
     """Inverse of extract_squares for per-pixel maps.
 
     Args:
-      maps: (num_squares, S', S', C) network outputs where S' = S*out_scale.
-      out_scale: map resolution / input resolution.
+      maps: (num_squares, S', S', C) network outputs; S' may be a scaled
+        version of the extraction square (the scale is inferred).
     Returns (H', W', C) stitched map over the (post-transpose) source image,
     with overlapping rows averaged by coverage count.
     """

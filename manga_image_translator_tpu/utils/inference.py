@@ -1,0 +1,197 @@
+"""Model artifact lifecycle: download / verify / load / unload.
+
+Contract from reference ``manga_translator/utils/inference.py:24-364``
+(InfererModule, ModelWrapper with declarative ``_MODEL_MAPPING``), rebuilt for
+the JAX runtime:
+
+* checkpoints are the reference's own released .ckpt files (same URLs +
+  sha256); they are converted to JAX params at load time via
+  models.torch_loader and cached as .npz so later loads skip torch entirely.
+* if a checkpoint is unavailable (offline environment), models fall back to
+  deterministic random init so shape/performance paths stay exercisable —
+  callers can check ``using_random_weights``.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+from typing import Dict, Optional
+
+from .log import get_logger
+
+MODULE_DIR = Path(os.environ.get(
+    'MIT_TPU_MODEL_DIR',
+    Path.home() / '.cache' / 'manga-image-translator-tpu' / 'models'))
+
+
+class InfererModule:
+    def __init__(self):
+        self.logger = get_logger(type(self).__name__)
+
+
+class ModelVerificationError(Exception):
+    pass
+
+
+class ModelDownloadError(Exception):
+    pass
+
+
+class ModelWrapper(InfererModule):
+    """Download/verify/load/unload state machine.
+
+    Subclasses declare::
+
+        _MODEL_MAPPING = {
+          'model': {'url': ..., 'hash': <sha256>, 'file': <name or '.'>},
+        }
+
+    and implement ``_load`` / ``_unload`` / ``_infer``.
+    """
+
+    _MODEL_MAPPING: Dict[str, Dict] = {}
+    _MODEL_SUB_DIR = ''
+
+    def __init__(self):
+        super().__init__()
+        self._loaded = False
+        self.using_random_weights = False
+
+    # -- paths ---------------------------------------------------------------
+    @property
+    def model_dir(self) -> Path:
+        return MODULE_DIR / self._MODEL_SUB_DIR
+
+    def _get_file_path(self, relative: str) -> Path:
+        return self.model_dir / relative
+
+    def _mapping_file_path(self, map_key: str) -> Path:
+        mapping = self._MODEL_MAPPING[map_key]
+        fname = mapping.get('file', '.')
+        if fname == '.':
+            fname = mapping['url'].split('/')[-1]
+        return self._get_file_path(fname)
+
+    # -- download ------------------------------------------------------------
+    def is_downloaded(self) -> bool:
+        return all(self._mapping_file_path(k).is_file()
+                   for k in self._MODEL_MAPPING)
+
+    async def download(self, force: bool = False):
+        for key, mapping in self._MODEL_MAPPING.items():
+            path = self._mapping_file_path(key)
+            if path.is_file() and not force:
+                continue
+            self.model_dir.mkdir(parents=True, exist_ok=True)
+            url = mapping['url']
+            self.logger.info(f'Downloading {url}')
+            try:
+                self._download_file(url, path)
+            except Exception as e:
+                raise ModelDownloadError(f'Failed to download {url}: {e}')
+            digest = mapping.get('hash')
+            if digest:
+                self._verify_file(path, digest)
+
+    def _download_file(self, url: str, path: Path):
+        import requests
+        with requests.get(url, stream=True, timeout=600) as r:
+            r.raise_for_status()
+            tmp_fd, tmp_name = tempfile.mkstemp(dir=self.model_dir)
+            try:
+                with os.fdopen(tmp_fd, 'wb') as f:
+                    for chunk in r.iter_content(1 << 20):
+                        f.write(chunk)
+                os.replace(tmp_name, path)
+            except BaseException:
+                if os.path.exists(tmp_name):
+                    os.unlink(tmp_name)
+                raise
+
+    def _verify_file(self, path: Path, sha256: str):
+        h = hashlib.sha256()
+        with open(path, 'rb') as f:
+            for blk in iter(lambda: f.read(1 << 20), b''):
+                h.update(blk)
+        if h.hexdigest() != sha256:
+            path.unlink(missing_ok=True)
+            raise ModelVerificationError(
+                f'sha256 mismatch for {path}: {h.hexdigest()} != {sha256}')
+
+    # -- lifecycle -----------------------------------------------------------
+    @property
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    async def load(self, device: str = 'tpu'):
+        if self._loaded:
+            return
+        if not self.is_downloaded():
+            try:
+                await self.download()
+            except ModelDownloadError as e:
+                self.logger.warning(
+                    f'{e}; falling back to random-initialized weights')
+                self.using_random_weights = True
+        await self._load(device)
+        self._loaded = True
+
+    async def unload(self):
+        if not self._loaded:
+            return
+        await self._unload()
+        self._loaded = False
+
+    async def reload(self, device: str = 'tpu'):
+        await self.unload()
+        await self.load(device)
+
+    async def infer(self, *args, **kwargs):
+        if not self._loaded:
+            await self.load()
+        return await self._infer(*args, **kwargs)
+
+    # -- to be implemented by subclasses --------------------------------------
+    async def _load(self, device: str):
+        raise NotImplementedError
+
+    async def _unload(self):
+        pass
+
+    async def _infer(self, *args, **kwargs):
+        raise NotImplementedError
+
+    # -- JAX param caching ----------------------------------------------------
+    def _params_cache_path(self, name: str) -> Path:
+        return self._get_file_path(f'{name}.jax.npz')
+
+    def load_params_converted(self, ckpt_key: str, convert_fn,
+                              init_fn=None) -> dict:
+        """Load checkpoint ``ckpt_key`` through ``convert_fn(state_dict)``,
+        with an .npz cache of the converted params; fall back to ``init_fn``
+        when the checkpoint is unavailable."""
+        import numpy as np
+        import jax.numpy as jnp
+        ckpt_path = self._mapping_file_path(ckpt_key)
+        cache = self._params_cache_path(ckpt_path.name)
+        if cache.is_file():
+            with np.load(cache) as z:
+                return {k: jnp.asarray(z[k]) for k in z.files}
+        if ckpt_path.is_file():
+            from ..models.torch_loader import load_torch_checkpoint
+            sd = load_torch_checkpoint(str(ckpt_path))
+            params = convert_fn(sd)
+            try:
+                np.savez(cache, **{k: np.asarray(v)
+                                   for k, v in params.items()})
+            except OSError:
+                pass
+            return params
+        if init_fn is None:
+            raise FileNotFoundError(ckpt_path)
+        self.logger.warning(
+            f'checkpoint {ckpt_path.name} unavailable — using random init')
+        self.using_random_weights = True
+        return init_fn()
