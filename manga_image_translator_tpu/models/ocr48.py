@@ -1,0 +1,573 @@
+"""48px autoregressive OCR (default OCR backend) — TPU-native.
+
+Architecture contract (checkpoint ``ocr_ar_48px.ckpt``): reference
+``ocr/model_48px.py:183-855`` + ``ocr/xpos_relative_position.py`` — ConvNeXt
+feature extractor (48px tall strips → 1×W/4 tokens of dim 320), 4 pre-LN
+transformer encoder layers and 5 decoder layers with XPOS rotary attention,
+weight-tied char head, and per-timestep fg/bg color heads.
+
+TPU redesign of the decode loop (reference ``infer_beam_batch_tensor``
+:678-801 recomputes every key/value over the whole prefix each step and
+compacts live hypotheses on host):
+
+* proper per-layer K/V caches — exact, because XPOS's length-dependent
+  centering cancels between q (scale) and k (1/scale), leaving a pure
+  relative-position decay s^((i-j)/base);
+* cross-attention K/V computed once per sequence;
+* a fixed-shape ``lax.while_loop`` over steps with finished-beam masking and
+  per-sample result latching (early exit when every sample has
+  ``max_finished_hypos`` finished beams);
+* the whole chunk (16 crops × 5 beams) advances in lockstep — no host
+  round-trips inside the loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .functional import P, conv2d, gelu, layer_norm, linear, relu
+
+EMBD_DIM = 320
+N_HEADS = 4
+HEAD_DIM = EMBD_DIM // N_HEADS
+N_ENCODERS = 4
+N_DECODERS = 5
+FF_DIM = 2048            # torch TransformerEncoder/DecoderLayer default
+XPOS_SCALE_BASE = EMBD_DIM  # reference passes embed_dim as scale_base
+
+START_TOK, END_TOK, PAD_TOK = 1, 2, 0
+
+
+# --------------------------------------------------------------------------
+# XPOS rotary position embedding (reference xpos_relative_position.py:8-72)
+# --------------------------------------------------------------------------
+
+def _xpos_scale_vec() -> np.ndarray:
+    # (arange(0, head_dim, 2) + 0.4*head_dim) / (1.4*head_dim)
+    return ((np.arange(0, HEAD_DIM, 2) + 0.4 * HEAD_DIM)
+            / (1.4 * HEAD_DIM)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _xpos_sincos(length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(sin, cos) rotation tables for absolute positions 0..length-1,
+    shape (length, head_dim/2). Matches fixed_pos_embedding: inv_freq uses
+    dim = head_dim/2 (the reference feeds the scale matrix whose width is
+    head_dim/2 into fixed_pos_embedding)."""
+    half = HEAD_DIM // 2
+    pos = np.arange(length, dtype=np.float32)
+    inv_freq = 1.0 / (10000 ** (np.arange(half, dtype=np.float32) / half))
+    sinusoid = pos[:, None] * inv_freq[None, :]
+    return np.sin(sinusoid), np.cos(sinusoid)
+
+
+_XPOS_MAX_POS = 4096
+
+
+def apply_xpos(x: jax.Array, rot_positions: jax.Array,
+               scale_exponents: jax.Array, downscale: bool) -> jax.Array:
+    """XPOS rotary embedding over (..., L, head_dim).
+
+    Args:
+      rot_positions: (L,) int — absolute positions for the sin/cos rotation.
+      scale_exponents: (L,) — exponent e in s^(e/scale_base) for the decay
+        (the reference centers these per call; centers must be replicated
+        exactly for cross-attention where q and k centers differ).
+      downscale: negate the exponent (applied to keys).
+    """
+    sin_np, cos_np = _xpos_sincos(_XPOS_MAX_POS)
+    sin = jnp.asarray(sin_np)[rot_positions]
+    cos = jnp.asarray(cos_np)[rot_positions]
+    s = jnp.asarray(_xpos_scale_vec())                        # (hd/2,)
+    exp = scale_exponents.astype(jnp.float32) / XPOS_SCALE_BASE
+    if downscale:
+        exp = -exp
+    scale = jnp.power(s[None, :], exp[:, None])               # (L, hd/2)
+    sin = jnp.repeat(sin * scale, 2, axis=-1).astype(x.dtype)
+    cos = jnp.repeat(cos * scale, 2, axis=-1).astype(x.dtype)
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rotated = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    return x * cos + rotated * sin
+
+
+# --------------------------------------------------------------------------
+# ConvNeXt feature extractor (reference model_48px.py:183-280)
+# --------------------------------------------------------------------------
+
+def _convnext_block(p: P, x: jax.Array, ks: int) -> jax.Array:
+    inp = x
+    dim = x.shape[-1]
+    x = p.conv('dwconv', x, padding=ks // 2, groups=dim)
+    x = p.bn('norm', x, eps=1e-6)
+    x = p.conv('pwconv1', x)
+    x = gelu(x)
+    x = p.conv('pwconv2', x)
+    # torch gamma shape (1, dim, 1, 1) -> broadcast over NHWC channels
+    x = x * p['gamma'].reshape(-1).astype(x.dtype)
+    return inp + x
+
+
+def _conv_bn_relu(p: P, idx0: int, x: jax.Array, stride, padding=0) -> jax.Array:
+    sh, sw = stride if isinstance(stride, tuple) else (stride, stride)
+    w = p[f'{idx0}.weight']
+    b = p[f'{idx0}.bias'] if f'{idx0}.bias' in p else None
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (sh, sw),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    out = p.bn(str(idx0 + 1), out)
+    return relu(out)
+
+
+def convnext_features(p: P, x: jax.Array) -> jax.Array:
+    """(N, 48, W, 3) → (N, W/4, 320) memory tokens."""
+    s = p.scope('stem')
+    x = s.conv('0', x, padding=3)
+    x = s.bn('1', x)
+    x = relu(x)
+    x = _conv_bn_relu(s, 3, x, 2)
+    x = s.conv('6', x, padding=1)
+    x = s.bn('7', x)
+    x = relu(x)
+    for i in range(4):
+        x = _convnext_block(p.scope(f'block1.{i}'), x, 7)
+    x = _conv_bn_relu(p.scope('down1'), 0, x, 2)
+    for i in range(12):
+        x = _convnext_block(p.scope(f'block2.{i}'), x, 7)
+    x = _conv_bn_relu(p.scope('down2'), 0, x, (2, 1))
+    for i in range(10):
+        x = _convnext_block(p.scope(f'block3.{i}'), x, 5)
+    x = _conv_bn_relu(p.scope('down3'), 0, x, (2, 1))
+    for i in range(8):
+        x = _convnext_block(p.scope(f'block4.{i}'), x, 3)
+    # down4: (3,1) kernel, stride 1, no padding: 3 rows -> 1 row
+    x = _conv_bn_relu(p.scope('down4'), 0, x, (1, 1))
+    return x[:, 0, :, :]  # (N, W', C)
+
+
+# --------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------
+
+def _split_heads(x: jax.Array) -> jax.Array:
+    """(N, L, E) -> (N, H, L, hd)"""
+    n, l, _ = x.shape
+    return x.reshape(n, l, N_HEADS, HEAD_DIM).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    n, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(n, l, h * hd)
+
+
+def xpos_attention(p: P, query: jax.Array, key: jax.Array, value: jax.Array,
+                   key_padding_mask: jax.Array = None) -> jax.Array:
+    """Full (non-cached) self-attention with XPOS, (N, L, E) inputs.
+
+    Matches reference XposMultiheadAttention.forward (model_48px.py:327-395)
+    with q_offset = k_offset = 0: both sides centered at L//2.
+    """
+    L = key.shape[1]
+    pos = jnp.arange(L)
+    # reference min_pos = -(L)//2 floors toward -inf: center = ceil(L/2)
+    exp = pos - (L + 1) // 2
+    q = p.dense('q_proj', query) * (HEAD_DIM ** -0.5)
+    k = p.dense('k_proj', key)
+    v = p.dense('v_proj', value)
+    q, k, v = _split_heads(q), _split_heads(k), _split_heads(v)
+    k = apply_xpos(k, pos, exp, downscale=True)
+    q = apply_xpos(q, pos, exp, downscale=False)
+    scores = jnp.einsum('nhqd,nhkd->nhqk', q, k,
+                        preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf,
+                           scores)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum('nhqk,nhkd->nhqd', weights, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return p.dense('out_proj', _merge_heads(out))
+
+
+def _ff_block(p: P, x: jax.Array) -> jax.Array:
+    return p.dense('linear2', relu(p.dense('linear1', x)))
+
+
+def encoder_forward(params: Dict, memory: jax.Array,
+                    key_padding_mask: jax.Array) -> jax.Array:
+    """4 pre-LN encoder layers (reference OCR.encoder_forward)."""
+    p = P(params)
+    x = memory
+    for i in range(N_ENCODERS):
+        lp = p.scope(f'encoders.{i}')
+        x = x + xpos_attention(lp.scope('self_attn'), lp.ln('norm1', x),
+                               lp.ln('norm1', x), lp.ln('norm1', x),
+                               key_padding_mask)
+        x = x + _ff_block(lp, lp.ln('norm2', x))
+    return x
+
+
+# --------------------------------------------------------------------------
+# Decoder with K/V caches
+# --------------------------------------------------------------------------
+
+class DecodeCaches(NamedTuple):
+    self_k: jax.Array    # (L_dec, N, H, S, hd)
+    self_v: jax.Array    # (L_dec, N, H, S, hd)
+    mem_k: jax.Array     # (L_dec, N, H, M, hd) — xpos applied
+    mem_v: jax.Array     # (L_dec, N, H, M, hd)
+    out: jax.Array       # (N, S, E) last-layer outputs (for color heads)
+
+
+def init_caches(params: Dict, memory: jax.Array, n: int, max_len: int
+                ) -> DecodeCaches:
+    p = P(params)
+    m = memory.shape[1]
+    mem_pos = jnp.arange(m)
+    # reference centers memory keys at ceil(M/2) (python -(M)//2 flooring)
+    mem_exp = mem_pos - (m + 1) // 2
+    mem_ks, mem_vs = [], []
+    for l in range(N_DECODERS):
+        lp = p.scope(f'decoders.{l}.multihead_attn')
+        k = _split_heads(lp.dense('k_proj', memory))
+        v = _split_heads(lp.dense('v_proj', memory))
+        mem_ks.append(apply_xpos(k, mem_pos, mem_exp, downscale=True))
+        mem_vs.append(v)
+    dtype = memory.dtype
+    return DecodeCaches(
+        self_k=jnp.zeros((N_DECODERS, n, N_HEADS, max_len, HEAD_DIM), dtype),
+        self_v=jnp.zeros((N_DECODERS, n, N_HEADS, max_len, HEAD_DIM), dtype),
+        mem_k=jnp.stack(mem_ks),
+        mem_v=jnp.stack(mem_vs),
+        out=jnp.zeros((n, max_len, EMBD_DIM), dtype),
+    )
+
+
+def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
+                step: jax.Array, memory_mask: jax.Array
+                ) -> Tuple[jax.Array, DecodeCaches]:
+    """One decoder step for (N,) tokens at position ``step``.
+
+    Returns (N, E) outputs and updated caches.
+    """
+    p = P(params)
+    embd = P(params)['embd.weight']
+    tgt = embd[token][:, None, :].astype(caches.mem_k.dtype)  # (N, 1, E)
+    n = tgt.shape[0]
+    max_len = caches.self_k.shape[3]
+    step_positions = jnp.full((1,), step, dtype=jnp.int32)
+    # decoder self-attn: score decay s^((step-j)/base) — realized with
+    # uncentered exponents (q: +step, k: -j), which matches the reference's
+    # per-step recentered values in the q·k product exactly
+    step_exp = step_positions
+    # cross-attn q: the reference's 1-token window centers at
+    # ceil((1+step)/2), leaving exponent floor((1+step)/2) - 1
+    cross_exp = (step_positions + 1) // 2 - 1
+    # positions mask for self-attention: attend to 0..step
+    pos_idx = jnp.arange(max_len)
+    self_mask = pos_idx[None, :] > step  # (1, S) True = masked
+
+    self_k, self_v = caches.self_k, caches.self_v
+    for l in range(N_DECODERS):
+        lp = p.scope(f'decoders.{l}')
+        ap = lp.scope('self_attn')
+        x_norm = lp.ln('norm1', tgt)
+        q = _split_heads(ap.dense('q_proj', x_norm) * (HEAD_DIM ** -0.5))
+        k_new = _split_heads(ap.dense('k_proj', x_norm))
+        v_new = _split_heads(ap.dense('v_proj', x_norm))
+        q = apply_xpos(q, step_positions, step_exp, downscale=False)
+        k_new = apply_xpos(k_new, step_positions, step_exp, downscale=True)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_new[None], (l, 0, 0, step, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_new[None], (l, 0, 0, step, 0))
+        scores = jnp.einsum('nhqd,nhkd->nhqk', q, self_k[l],
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(self_mask[None, None, :, :], -jnp.inf, scores)
+        w = jax.nn.softmax(scores, axis=-1).astype(tgt.dtype)
+        attn = jnp.einsum('nhqk,nhkd->nhqd', w, self_v[l],
+                          preferred_element_type=jnp.float32).astype(tgt.dtype)
+        tgt = tgt + ap.dense('out_proj', _merge_heads(attn))
+
+        # cross attention
+        cp = lp.scope('multihead_attn')
+        xq_in = lp.ln('norm2', tgt)
+        q2 = _split_heads(cp.dense('q_proj', xq_in) * (HEAD_DIM ** -0.5))
+        q2 = apply_xpos(q2, step_positions, cross_exp, downscale=False)
+        scores2 = jnp.einsum('nhqd,nhkd->nhqk', q2, caches.mem_k[l],
+                             preferred_element_type=jnp.float32)
+        scores2 = jnp.where(memory_mask[:, None, None, :], -jnp.inf, scores2)
+        w2 = jax.nn.softmax(scores2, axis=-1).astype(tgt.dtype)
+        attn2 = jnp.einsum('nhqk,nhkd->nhqd', w2, caches.mem_v[l],
+                           preferred_element_type=jnp.float32).astype(tgt.dtype)
+        tgt = tgt + cp.dense('out_proj', _merge_heads(attn2))
+
+        tgt = tgt + _ff_block(lp, lp.ln('norm3', tgt))
+
+    out = jax.lax.dynamic_update_slice(
+        caches.out, tgt, (0, step, 0))
+    return tgt[:, 0, :], DecodeCaches(self_k, self_v, caches.mem_k,
+                                      caches.mem_v, out)
+
+
+def char_logprobs(params: Dict, decoded: jax.Array) -> jax.Array:
+    p = P(params)
+    h = gelu(p.dense('pred1.0', decoded))
+    logits = linear(h, p['embd.weight'].T.astype(h.dtype), p['pred.bias'])
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def color_predictions(params: Dict, decoded: jax.Array):
+    """decoded: (..., E) → (fg, bg, fg_ind, bg_ind)."""
+    p = P(params)
+    feats = relu(p.dense('color_pred1.0', decoded))
+    return (p.dense('color_pred_fg', feats), p.dense('color_pred_bg', feats),
+            p.dense('color_pred_fg_ind', feats),
+            p.dense('color_pred_bg_ind', feats))
+
+
+# --------------------------------------------------------------------------
+# Beam search (fixed shape, while_loop)
+# --------------------------------------------------------------------------
+
+class BeamState(NamedTuple):
+    step: jax.Array          # scalar int32 — next write position
+    out_idx: jax.Array       # (N*k, S+1) int32
+    log_probs: jax.Array     # (N*k,) f32 — summed logprobs
+    caches: DecodeCaches     # beams share the N*k leading dim
+    done: jax.Array          # (N,) bool — sample latched
+    best_seq: jax.Array      # (N, S+1) int32 latched
+    best_logprob: jax.Array  # (N,) f32 latched
+    best_colors: jax.Array   # (N, S, E) latched last-layer outputs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('beams_k', 'max_len',
+                                    'max_finished_hypos'))
+def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
+                beams_k: int = 5, max_len: int = 255,
+                max_finished_hypos: int = 2):
+    """Full OCR inference for a batch of 48px strips.
+
+    Args:
+      images: (N, 48, W, 3) float in [-1, 1].
+      valid_widths: (N,) int32 pixel widths before padding.
+    Returns dict with sequences (N, max_len+1), probs (N,), and per-timestep
+    color predictions of the winning beam.
+    """
+    n = images.shape[0]
+    memory = convnext_features(P(params).scope('backbone'), images)
+    mem_len = memory.shape[1]
+    valid_feats = (valid_widths + 3) // 4 + 2
+    memory_mask = (jnp.arange(mem_len)[None, :]
+                   >= jnp.minimum(valid_feats, mem_len)[:, None])
+    memory = encoder_forward(params, memory, memory_mask)
+
+    nk = n * beams_k
+    # expand to beams
+    memory_b = jnp.repeat(memory, beams_k, axis=0)
+    memory_mask_b = jnp.repeat(memory_mask, beams_k, axis=0)
+    caches = init_caches(params, memory_b, nk, max_len)
+
+    out_idx = jnp.full((nk, max_len + 1), END_TOK, jnp.int32)
+    out_idx = out_idx.at[:, 0].set(START_TOK)
+
+    # step 0: run start token for all beams (identical within a sample)
+    decoded, caches = decode_step(params, caches,
+                                  out_idx[:, 0], jnp.int32(0), memory_mask_b)
+    logp = char_logprobs(params, decoded)           # (nk, V)
+    top_v, top_i = jax.lax.top_k(logp, beams_k)     # (nk, k)
+    # beams within a sample take distinct first tokens
+    beam_pos = jnp.arange(nk) % beams_k
+    first_tok = top_v[jnp.arange(nk), beam_pos], top_i[jnp.arange(nk), beam_pos]
+    out_idx = out_idx.at[:, 1].set(first_tok[1])
+    log_probs = first_tok[0]
+
+    state = BeamState(
+        step=jnp.int32(1),
+        out_idx=out_idx,
+        log_probs=log_probs,
+        caches=caches,
+        done=jnp.zeros((n,), bool),
+        best_seq=jnp.full((n, max_len + 1), END_TOK, jnp.int32),
+        best_logprob=jnp.full((n,), -jnp.inf, jnp.float32),
+        best_colors=jnp.zeros((n, max_len, EMBD_DIM), memory.dtype),
+    )
+
+    def latch(state: BeamState, newly_done: jax.Array) -> BeamState:
+        """Record the best beam of each newly-done sample."""
+        lp = state.log_probs.reshape(n, beams_k)
+        best_beam = jnp.argmax(lp, axis=1)                       # (N,)
+        flat = jnp.arange(n) * beams_k + best_beam
+        seq = state.out_idx[flat]
+        colors = state.caches.out[flat]
+        take = newly_done[:, None]
+        return state._replace(
+            done=state.done | newly_done,
+            best_seq=jnp.where(take, seq, state.best_seq),
+            best_logprob=jnp.where(newly_done, lp[jnp.arange(n), best_beam],
+                                   state.best_logprob),
+            best_colors=jnp.where(take[:, :, None] if colors.ndim == 3
+                                  else take, colors, state.best_colors),
+        )
+
+    def cond(state: BeamState):
+        return (state.step < max_len) & ~jnp.all(state.done)
+
+    def body(state: BeamState) -> BeamState:
+        step = state.step
+        last_tok = jax.vmap(lambda row, s: row[s])(
+            state.out_idx, jnp.full((nk,), step))
+        decoded, caches = decode_step(params, state.caches, last_tok, step,
+                                      memory_mask_b)
+        logp = char_logprobs(params, decoded)          # (nk, V)
+        top_v, top_i = jax.lax.top_k(logp, beams_k)    # (nk, k)
+        finished = last_tok == END_TOK
+        top_v = jnp.where(finished[:, None], 0.0, top_v)
+        top_i = jnp.where(finished[:, None], END_TOK, top_i)
+
+        cand_logp = (state.log_probs[:, None] + top_v).reshape(n,
+                                                               beams_k * beams_k)
+        sel_v, sel_flat = jax.lax.top_k(cand_logp, beams_k)  # (N, k)
+        parent = sel_flat // beams_k                         # beam idx in 0..k-1
+        new_tok_idx = sel_flat % beams_k
+        parent_flat = (jnp.arange(n)[:, None] * beams_k + parent).reshape(-1)
+
+        new_out = state.out_idx[parent_flat]
+        tok = top_i.reshape(n, beams_k, beams_k)[
+            jnp.arange(n)[:, None], parent, new_tok_idx].reshape(-1)
+        new_out = jax.vmap(
+            lambda row, t, s: row.at[s].set(t))(
+                new_out, tok, jnp.full((nk,), step + 1))
+        new_logp = sel_v.reshape(-1)
+
+        # gather caches along the beam dimension
+        new_caches = DecodeCaches(
+            self_k=state.caches.self_k[:, parent_flat],
+            self_v=state.caches.self_v[:, parent_flat],
+            mem_k=state.caches.mem_k,
+            mem_v=state.caches.mem_v,
+            out=state.caches.out[parent_flat],
+        )
+
+        new_state = state._replace(step=step + 1, out_idx=new_out,
+                                   log_probs=new_logp, caches=new_caches)
+
+        fin = (tok == END_TOK).reshape(n, beams_k)
+        newly_done = (fin.sum(axis=1) >= max_finished_hypos) & ~state.done
+        return latch(new_state, newly_done)
+
+    state = jax.lax.while_loop(cond, body, state)
+    # fallback for samples that never finished: best live beam
+    state = latch(state, ~state.done)
+
+    fg, bg, fg_ind, bg_ind = color_predictions(params, state.best_colors)
+    return {
+        'sequences': state.best_seq[:, 1:],          # drop start token
+        'probs': jnp.exp(state.best_logprob),
+        'fg': fg, 'bg': bg, 'fg_ind': fg_ind, 'bg_ind': bg_ind,
+    }
+
+
+# --------------------------------------------------------------------------
+# Random init (offline fallback / benchmarks)
+# --------------------------------------------------------------------------
+
+def init_params(dict_size: int, dtype=jnp.float32) -> Dict:
+    rs = np.random.RandomState(42)
+    params: Dict = {}
+
+    def dense(key, i, o, std=None):
+        std = std or (1.0 / np.sqrt(i))
+        params[key + '.weight'] = jnp.asarray(
+            rs.randn(i, o).astype(np.float32) * std, dtype)
+        params[key + '.bias'] = jnp.zeros((o,), dtype)
+
+    def conv(key, kh, kw, ci, co, groups=1, bias=True):
+        params[key + '.weight'] = jnp.asarray(
+            rs.randn(kh, kw, ci // groups, co).astype(np.float32)
+            * np.sqrt(2.0 / (kh * kw * ci // groups)), dtype)
+        if bias:
+            params[key + '.bias'] = jnp.zeros((co,), dtype)
+
+    def bn(key, c):
+        params[key + '.weight'] = jnp.ones((c,), dtype)
+        params[key + '.bias'] = jnp.zeros((c,), dtype)
+        params[key + '.running_mean'] = jnp.zeros((c,), jnp.float32)
+        params[key + '.running_var'] = jnp.ones((c,), jnp.float32)
+
+    def ln(key, c):
+        params[key + '.weight'] = jnp.ones((c,), dtype)
+        params[key + '.bias'] = jnp.zeros((c,), dtype)
+
+    base = EMBD_DIM // 8  # 40
+    bb = 'backbone'
+    conv(f'{bb}.stem.0', 7, 7, 3, base)
+    bn(f'{bb}.stem.1', base)
+    conv(f'{bb}.stem.3', 2, 2, base, base * 2)
+    bn(f'{bb}.stem.4', base * 2)
+    conv(f'{bb}.stem.6', 3, 3, base * 2, base * 2)
+    bn(f'{bb}.stem.7', base * 2)
+
+    def blocks(name, dim, nblk, ks):
+        for i in range(nblk):
+            pre = f'{bb}.{name}.{i}'
+            conv(f'{pre}.dwconv', ks, ks, dim, dim, groups=dim)
+            bn(f'{pre}.norm', dim)
+            conv(f'{pre}.pwconv1', 1, 1, dim, dim * 4)
+            conv(f'{pre}.pwconv2', 1, 1, dim * 4, dim)
+            params[f'{pre}.gamma'] = jnp.full((1, dim, 1, 1), 1e-6, dtype)
+
+    blocks('block1', base * 2, 4, 7)
+    conv(f'{bb}.down1.0', 2, 2, base * 2, base * 4)
+    bn(f'{bb}.down1.1', base * 4)
+    blocks('block2', base * 4, 12, 7)
+    conv(f'{bb}.down2.0', 2, 1, base * 4, base * 8)
+    bn(f'{bb}.down2.1', base * 8)
+    blocks('block3', base * 8, 10, 5)
+    conv(f'{bb}.down3.0', 2, 1, base * 8, base * 8)
+    bn(f'{bb}.down3.1', base * 8)
+    blocks('block4', base * 8, 8, 3)
+    conv(f'{bb}.down4.0', 3, 1, base * 8, base * 8)
+    bn(f'{bb}.down4.1', base * 8)
+
+    for i in range(N_ENCODERS):
+        pre = f'encoders.{i}'
+        for proj in ('q_proj', 'k_proj', 'v_proj', 'out_proj'):
+            dense(f'{pre}.self_attn.{proj}', EMBD_DIM, EMBD_DIM)
+        dense(f'{pre}.linear1', EMBD_DIM, FF_DIM)
+        dense(f'{pre}.linear2', FF_DIM, EMBD_DIM)
+        ln(f'{pre}.norm1', EMBD_DIM)
+        ln(f'{pre}.norm2', EMBD_DIM)
+
+    for i in range(N_DECODERS):
+        pre = f'decoders.{i}'
+        for att in ('self_attn', 'multihead_attn'):
+            for proj in ('q_proj', 'k_proj', 'v_proj', 'out_proj'):
+                dense(f'{pre}.{att}.{proj}', EMBD_DIM, EMBD_DIM)
+        dense(f'{pre}.linear1', EMBD_DIM, FF_DIM)
+        dense(f'{pre}.linear2', FF_DIM, EMBD_DIM)
+        for nrm in ('norm1', 'norm2', 'norm3'):
+            ln(f'{pre}.{nrm}', EMBD_DIM)
+
+    params['embd.weight'] = jnp.asarray(
+        rs.randn(dict_size, EMBD_DIM).astype(np.float32) * 0.02, dtype)
+    dense('pred1.0', EMBD_DIM, EMBD_DIM)
+    params['pred.bias'] = jnp.zeros((dict_size,), dtype)
+    dense('color_pred1.0', EMBD_DIM, 64)
+    dense('color_pred_fg', 64, 3)
+    dense('color_pred_bg', 64, 3)
+    dense('color_pred_fg_ind', 64, 2)
+    dense('color_pred_bg_ind', 64, 2)
+    return params
+
+
+TRANSPOSED_CONV_PATTERNS: Tuple[str, ...] = ()
+EMBEDDING_PATTERNS = (r'^embd\.weight$', r'^pred\.weight$')

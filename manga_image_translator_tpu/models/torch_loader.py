@@ -40,6 +40,7 @@ def convert_state_dict(sd: Dict[str, 'object'],
                        transposed_conv_patterns: Sequence[str] = (),
                        dtype=jnp.float32,
                        keep_fp32_patterns: Sequence[str] = (),
+                       embedding_patterns: Sequence[str] = (),
                        ) -> Dict[str, jnp.ndarray]:
     """Convert a torch state dict to the flat JAX params layout.
 
@@ -48,9 +49,12 @@ def convert_state_dict(sd: Dict[str, 'object'],
         weights matching one are treated as ConvTranspose2d weights.
       dtype: target dtype for floating weights (bf16 for TPU inference).
       keep_fp32_patterns: regexes for weights kept in fp32 (e.g. norm stats).
+      embedding_patterns: regexes for 2-D weights that are embeddings (kept
+        (vocab, dim), not transposed like linear layers).
     """
     t_res = [re.compile(p) for p in transposed_conv_patterns]
     f_res = [re.compile(p) for p in keep_fp32_patterns]
+    e_res = [re.compile(p) for p in embedding_patterns]
     out: Dict[str, jnp.ndarray] = {}
     for key, val in sd.items():
         arr = _to_numpy(val)
@@ -62,7 +66,8 @@ def convert_state_dict(sd: Dict[str, 'object'],
                 arr = arr.transpose(2, 3, 0, 1)        # (kh, kw, in, out)
             else:
                 arr = arr.transpose(2, 3, 1, 0)        # OIHW → HWIO
-        elif arr.ndim == 2 and leaf == 'weight' and not _is_norm(key):
+        elif (arr.ndim == 2 and leaf == 'weight' and not _is_norm(key)
+                and not any(r.search(key) for r in e_res)):
             arr = arr.T                                # (O,I) → (I,O)
         target = dtype
         if (_is_norm_stat(key) or any(r.search(key) for r in f_res)

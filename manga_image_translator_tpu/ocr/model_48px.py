@@ -1,0 +1,200 @@
+"""Default OCR backend: 48px autoregressive recognizer on TPU.
+
+Contract from reference ``ocr/model_48px.py:27-180`` (checkpoint
+ocr_ar_48px.ckpt + alphabet-all-v7.txt, /127.5-1 normalization, 16-crop
+chunks, beam k=5, prob threshold 0.2, per-char fg/bg color averaging).
+
+TPU specifics: crops are width-sorted, padded into fixed width buckets and a
+fixed batch of 16 so the jitted beam-search graph compiles once per bucket;
+the decode loop itself is models.ocr48.beam_decode (single XLA program).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OcrConfig
+from ..models import ocr48
+from ..models.torch_loader import convert_state_dict
+from ..utils.geometry import Quadrilateral
+from ..utils.textblock import TextBlock
+from .common import AvgMeter, OfflineOCR, chunks
+
+TEXT_HEIGHT = 48
+MAX_CHUNK = 16
+# width buckets bound the number of compiled beam-search graphs
+WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
+MAX_SEQ_LEN = 255
+BEAMS = 5
+
+
+def _placeholder_dictionary() -> List[str]:
+    """Offline fallback alphabet with the reference's special tokens at the
+    canonical indices (pad=0, start=1, end=2)."""
+    specials = ['<PAD>', '<S>', '</S>', '<SP>']
+    ascii_chars = [chr(c) for c in range(33, 127)]
+    kana = [chr(c) for c in range(0x3041, 0x3097)] + \
+           [chr(c) for c in range(0x30A1, 0x30FB)]
+    cjk = [chr(c) for c in range(0x4E00, 0x4E00 + 2048)]
+    return specials + ascii_chars + kana + cjk
+
+
+def bucket_width(w: int) -> int:
+    target = w + 8  # headroom mirroring the reference's max_width = w + 7
+    for b in WIDTH_BUCKETS:
+        if target <= b:
+            return b
+    return WIDTH_BUCKETS[-1]
+
+
+class Model48pxOCR(OfflineOCR):
+    _MODEL_MAPPING = {
+        'model': {
+            'url': 'https://github.com/zyddnys/manga-image-translator/releases'
+                   '/download/beta-0.3/ocr_ar_48px.ckpt',
+            'hash': '29daa46d080818bb4ab239a518a88338cbccff8f901bef8c9db191a7cb97671d',
+        },
+        'dict': {
+            'url': 'https://github.com/zyddnys/manga-image-translator/releases'
+                   '/download/beta-0.3/alphabet-all-v7.txt',
+            'hash': 'f5722368146aa0fbcc9f4726866e4efc3203318ebb66c811d8cbbe915576538a',
+        },
+    }
+
+    def __init__(self):
+        super().__init__()
+        self.params = None
+        self.dictionary: List[str] = []
+
+    async def _load(self, device: str):
+        dict_path = self._mapping_file_path('dict')
+        if dict_path.is_file():
+            with open(dict_path, 'r', encoding='utf-8') as fp:
+                self.dictionary = [s.rstrip('\n') for s in fp.readlines()]
+        else:
+            self.logger.warning('alphabet file unavailable — using '
+                                'placeholder dictionary')
+            self.dictionary = _placeholder_dictionary()
+        dict_size = len(self.dictionary)
+        self.params = self.load_params_converted(
+            'model',
+            lambda sd: convert_state_dict(
+                sd, embedding_patterns=ocr48.EMBEDDING_PATTERNS),
+            init_fn=lambda: ocr48.init_params(dict_size))
+
+    async def _unload(self):
+        self.params = None
+
+    async def _infer(self, image: np.ndarray,
+                     textlines: List[Quadrilateral], config: OcrConfig,
+                     verbose: bool = False, ignore_bubble: int = 0
+                     ) -> List[Quadrilateral]:
+        threshold = 0.2 if config.prob is None else config.prob
+
+        quadrilaterals = list(self._generate_text_direction(textlines))
+        region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
+                       for q, d in quadrilaterals]
+        out_regions = []
+
+        perm = range(len(region_imgs))
+        is_quadrilaterals = False
+        if quadrilaterals and isinstance(quadrilaterals[0][0], Quadrilateral):
+            perm = sorted(range(len(region_imgs)),
+                          key=lambda x: region_imgs[x].shape[1])
+            is_quadrilaterals = True
+
+        for indices in chunks(list(perm), MAX_CHUNK):
+            widths = [region_imgs[i].shape[1] for i in indices]
+            bw = bucket_width(max(widths))
+            batch = np.zeros((MAX_CHUNK, TEXT_HEIGHT, bw, 3), dtype=np.uint8)
+            for i, idx in enumerate(indices):
+                w = min(region_imgs[idx].shape[1], bw)
+                batch[i, :, :w, :] = region_imgs[idx][:, :w]
+            valid_widths = np.zeros((MAX_CHUNK,), np.int32)
+            valid_widths[:len(indices)] = [min(w, bw) for w in widths]
+
+            images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
+            ret = ocr48.beam_decode(self.params, images,
+                                    jnp.asarray(valid_widths),
+                                    beams_k=BEAMS, max_len=MAX_SEQ_LEN)
+            sequences = np.asarray(ret['sequences'])
+            probs = np.asarray(ret['probs'])
+            fg = np.asarray(ret['fg'], np.float32)
+            bg = np.asarray(ret['bg'], np.float32)
+            fg_ind = np.asarray(ret['fg_ind'], np.float32)
+            bg_ind = np.asarray(ret['bg_ind'], np.float32)
+
+            for i in range(len(indices)):
+                prob = float(probs[i])
+                if prob < threshold:
+                    continue
+                txt, colors = self._decode_tokens(
+                    sequences[i], fg[i], bg[i], fg_ind[i], bg_ind[i])
+                if txt is None:
+                    continue
+                fr, fgc, fb, br, bgc, bb = colors
+                self.logger.info(
+                    f'prob: {prob} {txt} fg: ({fr}, {fgc}, {fb}) '
+                    f'bg: ({br}, {bgc}, {bb})')
+                cur_region = quadrilaterals[indices[i]][0]
+                if isinstance(cur_region, Quadrilateral):
+                    cur_region.text = txt
+                    cur_region.prob = prob
+                    cur_region.fg_r, cur_region.fg_g, cur_region.fg_b = fr, fgc, fb
+                    cur_region.bg_r, cur_region.bg_g, cur_region.bg_b = br, bgc, bb
+                else:
+                    cur_region.text.append(txt)
+                    cur_region.update_font_colors(
+                        np.array([fr, fgc, fb]), np.array([br, bgc, bb]))
+                out_regions.append(cur_region)
+
+        if is_quadrilaterals:
+            return out_regions
+        return textlines
+
+    def _decode_tokens(self, seq: np.ndarray, fg: np.ndarray, bg: np.ndarray,
+                       fg_ind: np.ndarray, bg_ind: np.ndarray):
+        """Token ids + per-step color predictions → (text, avg colors).
+
+        Mirrors reference model_48px.py:121-160 (AvgMeter color averaging,
+        has_fg/has_bg gates, bg falls back to fg when absent).
+        """
+        has_fg = fg_ind[:, 1] > fg_ind[:, 0]
+        has_bg = bg_ind[:, 1] > bg_ind[:, 0]
+        seq_chars = []
+        fr, fgc, fb = AvgMeter(), AvgMeter(), AvgMeter()
+        br, bgc, bb = AvgMeter(), AvgMeter(), AvgMeter()
+        for t, chid in enumerate(seq):
+            chid = int(chid)
+            if chid >= len(self.dictionary):
+                continue
+            ch = self.dictionary[chid]
+            if ch == '<S>':
+                continue
+            if ch == '</S>':
+                break
+            if ch == '<SP>':
+                ch = ' '
+            seq_chars.append(ch)
+            if bool(has_fg[t]):
+                fr(int(fg[t, 0] * 255))
+                fgc(int(fg[t, 1] * 255))
+                fb(int(fg[t, 2] * 255))
+            if bool(has_bg[t]):
+                br(int(bg[t, 0] * 255))
+                bgc(int(bg[t, 1] * 255))
+                bb(int(bg[t, 2] * 255))
+            else:
+                br(int(fg[t, 0] * 255))
+                bgc(int(fg[t, 1] * 255))
+                bb(int(fg[t, 2] * 255))
+        txt = ''.join(seq_chars)
+        if not txt:
+            return None, None
+        clamp = lambda v: min(max(int(v), 0), 255)
+        return txt, (clamp(fr()), clamp(fgc()), clamp(fb()),
+                     clamp(br()), clamp(bgc()), clamp(bb()))
