@@ -26,11 +26,19 @@ _DN = ('NHWC', 'HWIO', 'NHWC')
 
 def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
            padding: Union[int, Tuple[int, int]] = 0, dilation: int = 1,
-           groups: int = 1) -> Array:
-    """torch.nn.functional.conv2d equivalent; w is HWIO."""
+           groups: int = 1, pad_mode: str = 'zeros') -> Array:
+    """torch.nn.functional.conv2d equivalent; w is HWIO.
+
+    ``pad_mode='reflect'`` matches torch Conv2d(padding_mode='reflect').
+    """
     if isinstance(padding, int):
         padding = (padding, padding)
-    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    if pad_mode == 'reflect' and (padding[0] or padding[1]):
+        x = jnp.pad(x, ((0, 0), (padding[0], padding[0]),
+                        (padding[1], padding[1]), (0, 0)), mode='reflect')
+        pad = [(0, 0), (0, 0)]
+    else:
+        pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), pad,
         rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
@@ -43,18 +51,19 @@ def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
 
 def conv_transpose2d(x: Array, w: Array, b: Optional[Array] = None,
                      stride: int = 2, padding: int = 1,
-                     kernel_size: int = 4) -> Array:
-    """torch.nn.ConvTranspose2d(k, s, p) equivalent.
+                     kernel_size: int = 4, output_padding: int = 0) -> Array:
+    """torch.nn.ConvTranspose2d(k, s, p, output_padding) equivalent.
 
     ``w`` is stored HWIO *post conversion* (torch IOHW → flip spatial + HWIO,
     handled by torch_loader), so this reduces to an input-dilated conv:
-    insert (s-1) zeros between pixels, pad by (k - 1 - p), then a VALID conv.
+    insert (s-1) zeros between pixels, pad by (k - 1 - p) (+output_padding on
+    the bottom/right), then a VALID conv.
     """
     k = kernel_size
     pad = k - 1 - padding
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
+        padding=[(pad, pad + output_padding), (pad, pad + output_padding)],
         lhs_dilation=(stride, stride), dimension_numbers=_DN,
         preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
@@ -184,16 +193,17 @@ class P:
         return P(self.d, f'{self.prefix}.{sub}' if self.prefix else sub)
 
     def conv(self, name: str, x: Array, stride: int = 1, padding: int = 0,
-             dilation: int = 1, groups: int = 1) -> Array:
+             dilation: int = 1, groups: int = 1,
+             pad_mode: str = 'zeros') -> Array:
         b = self[f'{name}.bias'] if f'{name}.bias' in self else None
         return conv2d(x, self[f'{name}.weight'], b, stride, padding,
-                      dilation, groups)
+                      dilation, groups, pad_mode)
 
     def conv_t(self, name: str, x: Array, stride: int = 2, padding: int = 1,
-               kernel_size: int = 4) -> Array:
+               kernel_size: int = 4, output_padding: int = 0) -> Array:
         b = self[f'{name}.bias'] if f'{name}.bias' in self else None
         return conv_transpose2d(x, self[f'{name}.weight'], b, stride, padding,
-                                kernel_size)
+                                kernel_size, output_padding)
 
     def bn(self, name: str, x: Array, eps: float = 1e-5) -> Array:
         return batch_norm(x, self[f'{name}.weight'], self[f'{name}.bias'],

@@ -1,0 +1,287 @@
+"""LaMa FFC inpainting generator (lama_large / lama_mpe) — TPU-native.
+
+Architecture contract: reference ``inpainting/inpainting_lama_mpe.py``
+(FourierUnit :187-253, SpectralTransform :260-305, FFC :310-367,
+FFCResnetBlock :402-435, FFCResNetGenerator :545-633, MPE :616-634 and
+load_masked_position_encoding :745-805). Config used by the shipped
+checkpoints: ratio 0 convs for stem/downsamples, ratio-0.75 FFC resnet
+blocks (18 for lama_large, 9 for lama_mpe), no LFU, sigmoid output.
+
+TPU mapping: NHWC; the whole generator is one jittable function; FFTs run in
+fp32 islands (reference forces fp32 around rfftn/irfftn because bf16 FFT
+darkens output), everything else follows the input dtype so the caller can
+run the conv stack in bf16.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .functional import P, relu, sigmoid
+
+NGF = 64
+N_DOWN = 3
+RESNET_RATIO = 0.75  # global channel ratio inside resnet blocks
+
+
+def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
+    """FourierUnit: rfft2 → interleaved re/im 1x1 conv + BN + ReLU → irfft2.
+
+    x: (N, H, W, C). FFTs in fp32; conv in x.dtype (autocast parity).
+    """
+    n, h, w, c = x.shape
+    xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm='ortho')
+    # interleave re/im per channel: (N, H, Wf, 2C) as [c0_re, c0_im, c1_re,…]
+    stacked = jnp.stack([xf.real, xf.imag], axis=-1).reshape(
+        n, h, w // 2 + 1, 2 * c)
+    y = p.conv('conv_layer', stacked.astype(x.dtype))
+    y = p.bn('bn', y)
+    y = relu(y)
+    y = y.astype(jnp.float32).reshape(n, h, w // 2 + 1, c, 2)
+    yc = jax.lax.complex(y[..., 0], y[..., 1])
+    out = jnp.fft.irfft2(yc, s=(h, w), axes=(1, 2), norm='ortho')
+    return out.astype(x.dtype)
+
+
+def _spectral_transform(p: P, x: jax.Array) -> jax.Array:
+    """SpectralTransform with stride 1, no LFU."""
+    x = p.conv('conv1.0', x)
+    x = p.bn('conv1.1', x)
+    x = relu(x)
+    out = _fourier_unit(p.scope('fu'), x)
+    return p.conv('conv2', x + out)
+
+
+def _ffc(p: P, x_l: jax.Array, x_g: Optional[jax.Array], ratio_gin: float,
+         ratio_gout: float, stride: int = 1, padding: int = 0
+         ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+    """FFC: four-path local/global conv mixing (reference FFC.forward)."""
+    out_l = None
+    out_g = None
+    if ratio_gout != 1:
+        out_l = p.conv('convl2l', x_l, stride=stride, padding=padding,
+                       pad_mode='reflect')
+        if x_g is not None and 'convg2l.weight' in p:
+            out_l = out_l + p.conv('convg2l', x_g, stride=stride,
+                                   padding=padding, pad_mode='reflect')
+    if ratio_gout != 0:
+        out_g = p.conv('convl2g', x_l, stride=stride, padding=padding,
+                       pad_mode='reflect')
+        if x_g is not None and 'convg2g.conv1.0.weight' in p:
+            out_g = out_g + _spectral_transform(p.scope('convg2g'), x_g)
+    return out_l, out_g
+
+
+def _ffc_bn_act(p: P, x_l: jax.Array, x_g: Optional[jax.Array],
+                ratio_gin: float, ratio_gout: float, stride: int = 1,
+                padding: int = 0):
+    x_l, x_g = _ffc(p.scope('ffc'), x_l, x_g, ratio_gin, ratio_gout,
+                    stride, padding)
+    if x_l is not None:
+        x_l = relu(p.bn('bn_l', x_l))
+    if x_g is not None:
+        x_g = relu(p.bn('bn_g', x_g))
+    return x_l, x_g
+
+
+def _resnet_block(p: P, x_l: jax.Array, x_g: jax.Array):
+    id_l, id_g = x_l, x_g
+    x_l, x_g = _ffc_bn_act(p.scope('conv1'), x_l, x_g, RESNET_RATIO,
+                           RESNET_RATIO, padding=1)
+    x_l, x_g = _ffc_bn_act(p.scope('conv2'), x_l, x_g, RESNET_RATIO,
+                           RESNET_RATIO, padding=1)
+    return id_l + x_l, id_g + x_g
+
+
+def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
+                           n_blocks: int = 18,
+                           rel_pos_emb: Optional[jax.Array] = None,
+                           direct_emb: Optional[jax.Array] = None
+                           ) -> jax.Array:
+    """Full generator. img: (N, H, W, 3) in [0,1] (already masked by caller
+    convention ``img * (1-mask)``), mask: (N, H, W, 1) binary.
+
+    Returns (N, H, W, 3) in [0,1].
+    """
+    p = P(params)
+    x = jnp.concatenate([img, mask], axis=-1)
+
+    # model.0 reflection pad + model.1 stem FFC (all-local)
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
+    x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0, padding=0)
+
+    if rel_pos_emb is not None:
+        x_l = x_l + rel_pos_emb.astype(x_l.dtype)
+    if direct_emb is not None:
+        x_l = x_l + direct_emb.astype(x_l.dtype)
+
+    # downsampling: model.2, model.3 all-local; model.4 splits local/global
+    x_l, x_g = _ffc_bn_act(p.scope('model.2'), x_l, None, 0, 0,
+                           stride=2, padding=1)
+    x_l, x_g = _ffc_bn_act(p.scope('model.3'), x_l, None, 0, 0,
+                           stride=2, padding=1)
+    x_l, x_g = _ffc_bn_act(p.scope('model.4'), x_l, None, 0, RESNET_RATIO,
+                           stride=2, padding=1)
+
+    for i in range(n_blocks):
+        x_l, x_g = _resnet_block(p.scope(f'model.{5 + i}'), x_l, x_g)
+
+    x = jnp.concatenate([x_l, x_g], axis=-1)
+
+    up0 = 5 + n_blocks + 1  # ConcatTupleLayer occupies one slot
+    for i in range(N_DOWN):
+        base = up0 + i * 3
+        x = p.conv_t(f'model.{base}', x, stride=2, padding=1, kernel_size=3,
+                     output_padding=1)
+        x = p.bn(f'model.{base + 1}', x)
+        x = relu(x)
+
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
+    x = p.conv(f'model.{up0 + 3 * N_DOWN + 1}', x)
+    return sigmoid(x.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# MPE (masked positional encoding) — lama_mpe variant
+# --------------------------------------------------------------------------
+
+def masked_position_encoding(mask: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side BFS producing (rel_pos ids, direction one-hots) for a binary
+    (H, W) mask in {0,1}. Mirrors reference load_masked_position_encoding."""
+    import cv2
+    str_size, pos_num = 256, 128
+    ori_mask = mask.astype(np.float32)
+    ori_h, ori_w = ori_mask.shape
+    m255 = (mask * 255).astype(np.uint8)
+    small = cv2.resize(m255, (str_size, str_size),
+                       interpolation=cv2.INTER_AREA)
+    small[small > 0] = 255
+    h, w = small.shape
+    mask3 = 1.0 - small / 255.0
+    pos = np.zeros((h, w), np.int32)
+    direct = np.zeros((h, w, 4), np.int32)
+    filters = [
+        np.ones((3, 3), np.float32),
+        np.array([[1, 1, 0], [1, 1, 0], [0, 0, 0]], np.float32),
+        np.array([[0, 0, 0], [1, 1, 0], [1, 1, 0]], np.float32),
+        np.array([[0, 1, 1], [0, 1, 1], [0, 0, 0]], np.float32),
+        np.array([[0, 0, 0], [0, 1, 1], [0, 1, 1]], np.float32),
+    ]
+    i = 0
+    if mask3.max() > 0:
+        while np.sum(1 - mask3) > 0:
+            i += 1
+            grown = cv2.filter2D(mask3, -1, filters[0])
+            grown[grown > 0] = 1
+            pos[(grown - mask3) == 1] = i
+            for d in range(4):
+                m = cv2.filter2D(mask3, -1, filters[1 + d])
+                m[m > 0] = 1
+                direct[(m - mask3) == 1, d] = 1
+            mask3 = grown
+    rel_pos = np.clip((pos / (str_size / 2) * pos_num).astype(np.int32),
+                      0, pos_num - 1)
+    if (ori_w, ori_h) != (w, h):
+        rel_pos = cv2.resize(rel_pos, (ori_w, ori_h),
+                             interpolation=cv2.INTER_NEAREST)
+        rel_pos[ori_mask == 0] = 0
+        direct = cv2.resize(direct, (ori_w, ori_h),
+                            interpolation=cv2.INTER_NEAREST)
+        direct[ori_mask == 0, :] = 0
+    return rel_pos, direct
+
+
+def mpe_embeddings(params: Dict, rel_pos: jax.Array, direct: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, W) ids + (B, H, W, 4) one-hots → two (B, H, W, 64) embeddings
+    scaled by alpha5/alpha6 (reference MPE.forward)."""
+    p = P(params)
+    rel_table = p['rel_pos_emb.weight']          # (128, 64)
+    dir_table = p['direct_emb.weight']           # (4, 64)
+    rel = rel_table[rel_pos] * p['alpha5']
+    dr = jnp.einsum('bhwf,fe->bhwe', direct.astype(jnp.float32),
+                    dir_table) * p['alpha6']
+    return rel, dr
+
+
+TRANSPOSED_CONV_PATTERNS_FOR_BLOCKS = {
+    18: (r'model\.(24|27|30)\.weight',),
+    9: (r'model\.(15|18|21)\.weight',),
+}
+
+
+def sinusoidal_embedding_table(num: int = 128, dim: int = 64) -> np.ndarray:
+    """MaskedSinusoidalPositionalEmbedding init (reference :439-460):
+    sin features in the first half, cos in the second (not interleaved)."""
+    pe = np.array([[pos / np.power(10000, 2 * (j // 2) / dim)
+                    for j in range(dim)] for pos in range(num)])
+    out = np.zeros((num, dim), np.float32)
+    sentinel = dim // 2 if dim % 2 == 0 else dim // 2 + 1
+    out[:, :sentinel] = np.sin(pe[:, 0::2])
+    out[:, sentinel:] = np.cos(pe[:, 1::2])
+    return out
+
+
+def init_params(n_blocks: int = 18, dtype=jnp.float32) -> Dict:
+    """Random params with the checkpoint key/shape layout."""
+    rs = np.random.RandomState(7)
+    params: Dict = {}
+
+    def conv(key, kh, kw, ci, co, bias=True):
+        params[key + '.weight'] = jnp.asarray(
+            rs.randn(kh, kw, ci, co).astype(np.float32)
+            * np.sqrt(2.0 / (kh * kw * ci)), dtype)
+        if bias:
+            params[key + '.bias'] = jnp.zeros((co,), dtype)
+
+    def bn(key, c):
+        params[key + '.weight'] = jnp.ones((c,), dtype)
+        params[key + '.bias'] = jnp.zeros((c,), dtype)
+        params[key + '.running_mean'] = jnp.zeros((c,), jnp.float32)
+        params[key + '.running_var'] = jnp.ones((c,), jnp.float32)
+
+    # stem
+    conv('model.1.ffc.convl2l', 7, 7, 4, NGF, bias=False)
+    bn('model.1.bn_l', NGF)
+    # downsamples
+    chans = [(NGF, NGF * 2), (NGF * 2, NGF * 4)]
+    for i, (ci, co) in enumerate(chans):
+        conv(f'model.{2 + i}.ffc.convl2l', 3, 3, ci, co, bias=False)
+        bn(f'model.{2 + i}.bn_l', co)
+    # last downsample splits local/global
+    cg = int(NGF * 8 * RESNET_RATIO)   # 384
+    cl = NGF * 8 - cg                  # 128
+    conv('model.4.ffc.convl2l', 3, 3, NGF * 4, cl, bias=False)
+    conv('model.4.ffc.convl2g', 3, 3, NGF * 4, cg, bias=False)
+    bn('model.4.bn_l', cl)
+    bn('model.4.bn_g', cg)
+
+    for b in range(n_blocks):
+        for cv in ('conv1', 'conv2'):
+            pre = f'model.{5 + b}.{cv}'
+            conv(f'{pre}.ffc.convl2l', 3, 3, cl, cl, bias=False)
+            conv(f'{pre}.ffc.convl2g', 3, 3, cl, cg, bias=False)
+            conv(f'{pre}.ffc.convg2l', 3, 3, cg, cl, bias=False)
+            st = f'{pre}.ffc.convg2g'
+            conv(f'{st}.conv1.0', 1, 1, cg, cg // 2, bias=False)
+            bn(f'{st}.conv1.1', cg // 2)
+            conv(f'{st}.fu.conv_layer', 1, 1, cg, cg, bias=False)
+            bn(f'{st}.fu.bn', cg)
+            conv(f'{st}.conv2', 1, 1, cg // 2, cg, bias=False)
+            bn(f'{pre}.bn_l', cl)
+            bn(f'{pre}.bn_g', cg)
+
+    up0 = 5 + n_blocks + 1
+    ch = NGF * 8
+    for i in range(N_DOWN):
+        conv(f'model.{up0 + i * 3}', 3, 3, ch, ch // 2)
+        bn(f'model.{up0 + i * 3 + 1}', ch // 2)
+        ch //= 2
+    conv(f'model.{up0 + 3 * N_DOWN + 1}', 7, 7, NGF, 3)
+    return params
