@@ -167,6 +167,15 @@ class TextBlock:
         return polygons
 
     @cached_property
+    def unrotated_min_rect(self) -> np.ndarray:
+        polygons = self.unrotated_polygons
+        min_x, min_y = polygons[:, ::2].min(), polygons[:, 1::2].min()
+        max_x, max_y = polygons[:, ::2].max(), polygons[:, 1::2].max()
+        box = np.array([[min_x, min_y, max_x, min_y, max_x, max_y,
+                         min_x, max_y]])
+        return box.reshape(-1, 4, 2).astype(np.int64)
+
+    @cached_property
     def min_rect(self) -> np.ndarray:
         polygons = self.unrotated_polygons
         min_x, min_y = polygons[:, ::2].min(), polygons[:, 1::2].min()

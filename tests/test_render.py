@@ -1,0 +1,102 @@
+"""Rendering tests, modeled on reference test/test_render.py: synthetic
+TextBlocks onto blank canvases; assertions check pixels actually changed and
+layout helpers behave."""
+import asyncio
+
+import numpy as np
+
+from manga_image_translator_tpu.rendering import (
+    dispatch,
+    dispatch_eng_render,
+    fg_bg_compare,
+)
+from manga_image_translator_tpu.rendering import text_render
+from manga_image_translator_tpu.utils.textblock import TextBlock
+
+
+def make_region(lines, texts, translation, **kw):
+    blk = TextBlock(lines, texts=texts, font_size=kw.pop('font_size', 20),
+                    **kw)
+    blk.translation = translation
+    return blk
+
+
+def test_put_text_horizontal_draws_pixels():
+    text_render.set_font('')
+    box = text_render.put_text_horizontal(24, 'Hello world', 200, 40,
+                                          'center', False, (0, 0, 0),
+                                          (255, 255, 255))
+    assert box.shape[2] == 4
+    assert box[:, :, 3].max() == 255  # some opaque pixels
+
+
+def test_put_text_vertical_columns():
+    text_render.set_font('')
+    box = text_render.put_text_vertical(20, 'ABCDEFGH', 80, 'left',
+                                        (0, 0, 0), None)
+    assert box.shape[2] == 4
+    # 80px height / 20px font -> 4 chars per column -> 2 columns
+    assert box.shape[1] >= 2 * 20
+
+
+def test_break_text_wraps_words():
+    font = text_render.get_cached_font(20)
+    lines = text_render._break_text(font, 'aaa bbb ccc ddd eee', 80)
+    assert len(lines) > 1
+    assert all(font.getlength(l) <= 110 for l in lines)
+
+
+def test_break_text_cjk_char_level():
+    font = text_render.get_cached_font(20)
+    lines = text_render._break_text(font, '日本語のテキストです', 60)
+    assert len(lines) > 1
+
+
+def test_fg_bg_compare_pushes_contrast():
+    fg, bg = fg_bg_compare(np.array([10, 10, 10]), np.array([12, 12, 12]))
+    assert tuple(bg) == (255, 255, 255)
+    fg, bg = fg_bg_compare(np.array([200, 200, 200]), np.array([205, 205, 205]))
+    assert tuple(bg) == (0, 0, 0)
+
+
+def test_dispatch_renders_on_canvas():
+    img = np.full((300, 400, 3), 255, np.uint8)
+    region = make_region([[[50, 50], [350, 50], [350, 100], [50, 100]]],
+                         ['hello'], 'TRANSLATED', target_lang='ENG')
+    out = asyncio.run(dispatch(img.copy(), [region]))
+    assert (out != img).any()
+
+
+def test_dispatch_skips_empty_translation():
+    img = np.full((100, 100, 3), 255, np.uint8)
+    region = make_region([[[10, 10], [90, 10], [90, 40], [10, 40]]],
+                         ['x'], '')
+    out = asyncio.run(dispatch(img.copy(), [region]))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_vertical_region_renders():
+    img = np.full((400, 300, 3), 255, np.uint8)
+    region = make_region([[[200, 50], [240, 50], [240, 350], [200, 350]]],
+                         ['テスト'], 'テスト', direction='v',
+                         target_lang='JPN')
+    out = asyncio.run(dispatch(img.copy(), [region]))
+    assert (out != img).any()
+
+
+def test_eng_render():
+    img = np.full((300, 400, 3), 255, np.uint8)
+    region = make_region([[[50, 50], [350, 50], [350, 150], [50, 150]]],
+                         ['hello'], 'Hello there, world!',
+                         target_lang='ENG')
+    out = asyncio.run(dispatch_eng_render(img.copy(), img, [region]))
+    assert (out != img).any()
+
+
+def test_render_mask_filled():
+    img = np.full((200, 200, 3), 255, np.uint8)
+    mask = np.zeros((200, 200), np.uint8)
+    region = make_region([[[20, 20], [180, 20], [180, 60], [20, 60]]],
+                         ['a'], 'text', target_lang='ENG')
+    asyncio.run(dispatch(img, [region], render_mask=mask))
+    assert mask.max() == 1
