@@ -119,6 +119,16 @@ def is_valuable_text(text: str) -> bool:
     return bool(_VALUABLE_RE.search(text))
 
 
+def repeating_sequence(s: str) -> str:
+    """Shortest prefix whose repetition yields the string (reference
+    utils/generic.py): 'abcabcabc' -> 'abc'; returns s when non-repeating."""
+    for i in range(1, len(s) // 2 + 1):
+        seq = s[:i]
+        if seq * (len(s) // len(seq)) + seq[:len(s) % len(seq)] == s:
+            return seq
+    return s
+
+
 def findNextPowerOf2(n: int) -> int:
     i = 0
     while n != 0:
