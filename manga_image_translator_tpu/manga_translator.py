@@ -1,0 +1,757 @@
+"""Pipeline orchestrator: MangaTranslator.
+
+Contract from reference ``manga_translator/manga_translator.py:95-2805``:
+``translate(image, config) -> Context`` runs the 9-stage pipeline
+(colorize → upscale → detect → OCR → merge → translate → mask-refine →
+inpaint → render) with per-stage error fallback (``ignore_errors``), progress
+hooks, model TTL eviction, pre/post dictionaries, page-context history,
+post-translation hallucination / target-language checks, and batch +
+concurrent translation modes.
+
+TPU notes: stage dispatchers drive jitted XLA programs (detection, OCR,
+inpainting); translator RTT overlaps with device compute in the batch path
+(phase 1 device work for page N+1 proceeds while page N's texts sit in the
+translator queue).
+"""
+from __future__ import annotations
+
+import asyncio
+import os
+import re
+import time
+import traceback
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from .config import Colorizer, Config, Inpainter, Renderer, Translator
+from .utils.generic import Context, dump_image, is_valuable_text, load_image
+from .utils.log import get_logger
+from .utils.sort import sort_regions, visualize_textblocks
+from .utils.textblock import TextBlock
+
+logger = get_logger('manga_translator')
+
+
+def load_dictionary(file_path: Optional[str]) -> List:
+    """Load a replacement dictionary: lines of `pattern<TAB or spaces>target`."""
+    dictionary = []
+    if file_path and os.path.exists(file_path):
+        with open(file_path, encoding='utf8') as f:
+            for line_no, line in enumerate(f, 1):
+                line = line.strip()
+                if not line or line.startswith('#'):
+                    continue
+                parts = re.split(r'\t+|\s{2,}', line)
+                if len(parts) == 1:
+                    parts.append('')
+                try:
+                    pattern = re.compile(parts[0])
+                    dictionary.append((pattern, parts[1]))
+                except re.error:
+                    logger.warning(f'Invalid dictionary pattern at line '
+                                   f'{line_no}: {parts[0]}')
+    return dictionary
+
+
+def apply_dictionary(text: str, dictionary: List) -> str:
+    for pattern, value in dictionary:
+        text = pattern.sub(value, text)
+    return text
+
+
+# bracket repair table (reference manga_translator.py:823-886)
+_BRACKET_PAIRS = {
+    '(': ')', '（': '）', '[': ']', '【': '】', '{': '}', '〔': '〕',
+    '〈': '〉', '「': '」', '《': '》', '『': '』', '«': '»', '‹': '›',
+    '＜': '＞', '<': '>',
+}
+
+
+def fix_brackets(text: str) -> str:
+    """Remove unpaired and repair mismatched brackets."""
+    left = set(_BRACKET_PAIRS)
+    right = set(_BRACKET_PAIRS.values())
+    stack, to_skip = [], set()
+    for i, ch in enumerate(text):
+        if ch in left:
+            stack.append((i, ch))
+        elif ch in right:
+            if stack:
+                stack.pop()
+            else:
+                to_skip.add(i)
+    to_skip.update(pos for pos, _ in stack)
+    out, stack2 = [], []
+    for i, ch in enumerate(text):
+        if i in to_skip:
+            continue
+        if ch in left:
+            stack2.append(ch)
+            out.append(ch)
+        elif ch in right:
+            if stack2:
+                expected = _BRACKET_PAIRS[stack2.pop()]
+                out.append(expected)
+            else:
+                out.append(ch)
+        else:
+            out.append(ch)
+    return ''.join(out)
+
+
+class MangaTranslator:
+    """The full page-translation pipeline."""
+
+    def __init__(self, params: Optional[dict] = None):
+        params = params or {}
+        self.verbose = params.get('verbose', False)
+        self.ignore_errors = params.get('ignore_errors', False)
+        self.font_path = params.get('font_path', '')
+        self.models_ttl = int(params.get('models_ttl', 0) or 0)
+        self.batch_size = int(params.get('batch_size', 1) or 1)
+        self.batch_concurrent = params.get('batch_concurrent', False)
+        self.context_size = int(params.get('context_size', 0) or 0)
+        self.pre_dict = params.get('pre_dict')
+        self.post_dict = params.get('post_dict')
+        self.kernel_size = int(params.get('kernel_size', 3) or 3)
+        self.use_mtpe = params.get('use_mtpe', False)
+        self.save_text = params.get('save_text', False)
+        self.load_text = params.get('load_text', False)
+        self.result_path_base = params.get('result_path', 'result')
+        self.device = self._pick_device(params)
+
+        self.all_page_translations: List[Dict[str, str]] = []
+        self._progress_hooks = []
+        self._model_usage_timestamps: Dict = {}
+        self._detector_cleanup_task = None
+        self._result_sub = ''
+
+    def _pick_device(self, params: dict) -> str:
+        if params.get('use_gpu') is False:
+            return 'cpu'
+        try:
+            import jax
+            platform = jax.devices()[0].platform
+            return platform
+        except Exception:
+            return 'cpu'
+
+    # -- progress -------------------------------------------------------------
+    def add_progress_hook(self, hook):
+        self._progress_hooks.append(hook)
+
+    async def _report_progress(self, state: str, finished: bool = False):
+        for hook in self._progress_hooks:
+            await hook(state, finished)
+
+    def _result_path(self, name: str) -> str:
+        base = os.path.join(self.result_path_base, self._result_sub)
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, name)
+
+    # -- model TTL ------------------------------------------------------------
+    async def _detector_cleanup_job(self):
+        while True:
+            await asyncio.sleep(1)
+            if self.models_ttl <= 0:
+                continue
+            now = time.time()
+            for (kind, key), ts in list(self._model_usage_timestamps.items()):
+                if now - ts > self.models_ttl:
+                    await self._unload_model(kind, key)
+                    del self._model_usage_timestamps[(kind, key)]
+
+    async def _unload_model(self, kind: str, key):
+        logger.info(f'Unloading {kind}: {key}')
+        try:
+            if kind == 'detection':
+                from . import detection
+                await detection.unload(key)
+            elif kind == 'ocr':
+                from . import ocr
+                await ocr.unload(key)
+            elif kind == 'inpainting':
+                from . import inpainting
+                await inpainting.unload(key)
+        except Exception as e:
+            logger.warning(f'unload failed: {e}')
+
+    def _mark_used(self, kind: str, key):
+        self._model_usage_timestamps[(kind, key)] = time.time()
+
+    # -- public API -----------------------------------------------------------
+    async def translate(self, image: Image.Image, config: Config,
+                        image_name: Optional[str] = None) -> Context:
+        """Translates a single PIL image; returns the pipeline Context with
+        ``.result`` holding the final PIL image (or None when skipped)."""
+        await self._report_progress('running')
+        ctx = Context()
+        ctx.input = image
+        ctx.result = None
+        ctx.verbose = self.verbose
+        if image_name:
+            self._result_sub = os.path.splitext(os.path.basename(image_name))[0]
+        return await self._translate(config, ctx)
+
+    async def _translate(self, config: Config, ctx: Context) -> Context:
+        if self._detector_cleanup_task is None and self.models_ttl > 0:
+            self._detector_cleanup_task = asyncio.create_task(
+                self._detector_cleanup_job())
+
+        # -- Colorization
+        if config.colorizer.colorizer != Colorizer.none:
+            await self._report_progress('colorizing')
+            try:
+                ctx.img_colorized = await self._run_colorizer(config, ctx)
+            except Exception:
+                logger.error(f'Error during colorizing:\n'
+                             f'{traceback.format_exc()}')
+                if not self.ignore_errors:
+                    raise
+                ctx.img_colorized = ctx.input
+        else:
+            ctx.img_colorized = ctx.input
+
+        # -- Upscaling
+        if config.upscale.upscale_ratio:
+            await self._report_progress('upscaling')
+            try:
+                ctx.upscaled = await self._run_upscaling(config, ctx)
+            except Exception:
+                logger.error(f'Error during upscaling:\n'
+                             f'{traceback.format_exc()}')
+                if not self.ignore_errors:
+                    raise
+                ctx.upscaled = ctx.img_colorized
+        else:
+            ctx.upscaled = ctx.img_colorized
+
+        ctx.img_rgb, ctx.img_alpha = load_image(ctx.upscaled)
+
+        # -- Detection
+        await self._report_progress('detection')
+        try:
+            ctx.textlines, ctx.mask_raw, ctx.mask = await self._run_detection(
+                config, ctx)
+        except Exception:
+            logger.error(f'Error during detection:\n{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.textlines, ctx.mask_raw, ctx.mask = [], None, None
+
+        if self.verbose and ctx.mask_raw is not None:
+            cv2.imwrite(self._result_path('mask_raw.png'), ctx.mask_raw)
+
+        if not ctx.textlines:
+            await self._report_progress('skip-no-regions', True)
+            ctx.result = ctx.upscaled
+            return await self._revert_upscale(config, ctx)
+
+        if self.verbose:
+            canvas = np.copy(ctx.img_rgb)
+            for q in ctx.textlines:
+                cv2.polylines(canvas, [q.pts.astype(np.int32)], True,
+                              (255, 0, 0), 2)
+            cv2.imwrite(self._result_path('bboxes_unfiltered.png'),
+                        cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))
+
+        # -- OCR
+        await self._report_progress('ocr')
+        try:
+            ctx.textlines = await self._run_ocr(config, ctx)
+        except Exception:
+            logger.error(f'Error during ocr:\n{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.textlines = []
+
+        if not ctx.textlines:
+            await self._report_progress('skip-no-text', True)
+            ctx.result = ctx.upscaled
+            return await self._revert_upscale(config, ctx)
+
+        # -- Textline merge
+        await self._report_progress('textline_merge')
+        try:
+            ctx.text_regions = await self._run_textline_merge(config, ctx)
+        except Exception:
+            logger.error(f'Error during textline_merge:\n'
+                         f'{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.text_regions = []
+
+        if self.verbose and ctx.text_regions:
+            canvas = visualize_textblocks(
+                cv2.cvtColor(ctx.img_rgb, cv2.COLOR_RGB2BGR),
+                ctx.text_regions)
+            cv2.imwrite(self._result_path('bboxes.png'), canvas)
+
+        # pre-translation dictionary
+        pre_dict = load_dictionary(self.pre_dict)
+        for region in ctx.text_regions:
+            region.text = apply_dictionary(region.text, pre_dict)
+
+        # -- Translation
+        await self._report_progress('translating')
+        try:
+            ctx.text_regions = await self._run_text_translation(config, ctx)
+        except Exception:
+            logger.error(f'Error during translating:\n'
+                         f'{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.text_regions = []
+        await self._report_progress('after-translating')
+
+        if not ctx.text_regions:
+            await self._report_progress('error-translating', True)
+            ctx.result = ctx.upscaled
+            return await self._revert_upscale(config, ctx)
+
+        # -- Mask refinement
+        if ctx.mask is None:
+            await self._report_progress('mask-generation')
+            try:
+                ctx.mask = await self._run_mask_refinement(config, ctx)
+            except Exception:
+                logger.error(f'Error during mask-generation:\n'
+                             f'{traceback.format_exc()}')
+                if not self.ignore_errors:
+                    raise
+                ctx.mask = (ctx.mask_raw if ctx.mask_raw is not None else
+                            np.zeros(ctx.img_rgb.shape[:2], np.uint8))
+
+        if self.verbose and ctx.mask is not None:
+            cv2.imwrite(self._result_path('mask_final.png'), ctx.mask)
+
+        # -- Inpainting
+        await self._report_progress('inpainting')
+        try:
+            ctx.img_inpainted = await self._run_inpainting(config, ctx)
+        except Exception:
+            logger.error(f'Error during inpainting:\n'
+                         f'{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.img_inpainted = ctx.img_rgb
+        ctx.gimp_mask = np.dstack(
+            (cv2.cvtColor(ctx.img_inpainted, cv2.COLOR_RGB2BGR), ctx.mask))
+
+        if self.verbose:
+            cv2.imwrite(self._result_path('inpainted.png'),
+                        cv2.cvtColor(ctx.img_inpainted, cv2.COLOR_RGB2BGR))
+
+        # -- Rendering
+        await self._report_progress('rendering')
+        try:
+            ctx.img_rendered = await self._run_text_rendering(config, ctx)
+        except Exception:
+            logger.error(f'Error during rendering:\n'
+                         f'{traceback.format_exc()}')
+            if not self.ignore_errors:
+                raise
+            ctx.img_rendered = ctx.img_inpainted
+
+        await self._report_progress('finished', True)
+        ctx.result = dump_image(ctx.img_rendered, ctx.img_alpha)
+
+        # record page translations for --context-size history
+        page = {r.text: r.translation for r in ctx.text_regions
+                if getattr(r, 'translation', '')}
+        if page:
+            self.all_page_translations.append(page)
+
+        return await self._revert_upscale(config, ctx)
+
+    async def _revert_upscale(self, config: Config, ctx: Context) -> Context:
+        if config.upscale.revert_upscaling and ctx.result is not None:
+            await self._report_progress('downscaling')
+            ctx.result = ctx.result.resize(ctx.input.size)
+        if ctx.result is not None and self.verbose:
+            arr = np.array(ctx.result)
+            if arr.ndim == 3:
+                arr = cv2.cvtColor(arr[:, :, :3], cv2.COLOR_RGB2BGR)
+            cv2.imwrite(self._result_path('final.png'), arr)
+        return ctx
+
+    # -- stage runners --------------------------------------------------------
+    async def _run_colorizer(self, config: Config, ctx: Context):
+        from . import colorization
+        self._mark_used('colorization', config.colorizer.colorizer)
+        return await colorization.dispatch(
+            config.colorizer.colorizer, device=self.device, image=ctx.input,
+            colorization_size=config.colorizer.colorization_size,
+            denoise_sigma=config.colorizer.denoise_sigma)
+
+    async def _run_upscaling(self, config: Config, ctx: Context):
+        from . import upscaling
+        self._mark_used('upscaling', config.upscale.upscaler)
+        return (await upscaling.dispatch(
+            config.upscale.upscaler, [ctx.img_colorized],
+            config.upscale.upscale_ratio, self.device))[0]
+
+    async def _run_detection(self, config: Config, ctx: Context):
+        from . import detection
+        self._mark_used('detection', config.detector.detector)
+        return await detection.dispatch(
+            config.detector.detector, ctx.img_rgb,
+            config.detector.detection_size, config.detector.text_threshold,
+            config.detector.box_threshold, config.detector.unclip_ratio,
+            config.detector.det_invert, config.detector.det_gamma_correct,
+            config.detector.det_rotate, config.detector.det_auto_rotate,
+            self.device, self.verbose)
+
+    async def _run_ocr(self, config: Config, ctx: Context):
+        from . import ocr
+        self._mark_used('ocr', config.ocr.ocr)
+        textlines = await ocr.dispatch(config.ocr.ocr, ctx.img_rgb,
+                                       ctx.textlines, config.ocr,
+                                       self.device, self.verbose)
+        new_textlines = []
+        for textline in textlines:
+            if textline.text.strip():
+                if config.render.font_color_fg:
+                    textline.fg_r, textline.fg_g, textline.fg_b = \
+                        config.render.font_color_fg
+                if config.render.font_color_bg:
+                    textline.bg_r, textline.bg_g, textline.bg_b = \
+                        config.render.font_color_bg
+                new_textlines.append(textline)
+        return new_textlines
+
+    async def _run_textline_merge(self, config: Config, ctx: Context):
+        from . import textline_merge
+        from .translators.common import ISO_639_1_TO_VALID_LANGUAGES
+        from .utils.textblock import _simple_langid
+
+        # skip-lang filter
+        if config.translator.skip_lang is not None:
+            skip_langs = [l.strip().upper()
+                          for l in config.translator.skip_lang.split(',')]
+            kept = []
+            for q in ctx.textlines:
+                iso = _simple_langid(q.text)
+                source = ISO_639_1_TO_VALID_LANGUAGES.get(iso, 'UNKNOWN')
+                if source in skip_langs:
+                    logger.info(f'Filtered out: {q.text} (lang {source})')
+                    continue
+                kept.append(q)
+            ctx.textlines = kept
+
+        text_regions = await textline_merge.dispatch(
+            ctx.textlines, ctx.img_rgb.shape[1], ctx.img_rgb.shape[0],
+            verbose=self.verbose)
+        for region in text_regions:
+            if not hasattr(region, 'text_raw'):
+                region.text_raw = region.text
+
+        new_text_regions = []
+        for region in text_regions:
+            text = fix_brackets(region.text.strip()).strip()
+            region.text = text
+            if (len(region.text) < config.ocr.min_text_length
+                    or not is_valuable_text(region.text)
+                    or (not config.translator.no_text_lang_skip
+                        and _lang_matches(region.source_lang,
+                                          config.translator.target_lang))):
+                if region.text.strip():
+                    logger.info(f'Filtered out: {region.text}')
+                continue
+            if config.render.font_color_bg:
+                region.adjust_bg_color = False
+            new_text_regions.append(region)
+
+        return sort_regions(new_text_regions,
+                            right_to_left=config.render.rtl,
+                            img=ctx.img_rgb,
+                            force_simple_sort=config.force_simple_sort)
+
+    def _build_prev_context(self) -> str:
+        """Last ``context_size`` non-empty pages as numbered context lines."""
+        if self.context_size <= 0 or not self.all_page_translations:
+            return ''
+        non_empty = [p for p in self.all_page_translations
+                     if any(s.strip() for s in p.values())]
+        tail = non_empty[-self.context_size:]
+        lines = [s.strip() for page in tail for s in page.values()
+                 if s.strip()]
+        if not lines:
+            return ''
+        numbered = [f'<|{i + 1}|>{s}' for i, s in enumerate(lines)]
+        return ('Here are the previous translation results for reference:\n'
+                + '\n'.join(numbered))
+
+    async def _run_text_translation(self, config: Config, ctx: Context):
+        from . import translators
+
+        text_regions = ctx.text_regions
+        if config.filter_text:
+            pattern = re.compile(config.filter_text)
+            text_regions = [r for r in text_regions
+                            if not pattern.search(r.text)]
+
+        queries = [r.text for r in text_regions]
+        if not queries:
+            return []
+
+        chain = config.translator.translator_gen
+        translator = translators.get_translator(chain.translators[0])
+        if hasattr(translator, 'prev_context'):
+            translator.prev_context = self._build_prev_context()
+
+        translations = await translators.dispatch(
+            chain, queries, config.translator, self.use_mtpe, ctx,
+            self.device)
+
+        post_dict = load_dictionary(self.post_dict)
+        for region, translation in zip(text_regions, translations):
+            translation = apply_dictionary(translation or '', post_dict)
+            if config.render.uppercase:
+                translation = translation.upper()
+            elif config.render.lowercase:
+                translation = translation.lower()
+            region.translation = translation
+            region.target_lang = config.translator.target_lang
+
+        # post-translation validation (reference :2586-2780)
+        if config.translator.enable_post_translation_check:
+            await self._validate_translations(config, ctx, text_regions)
+
+        # keep only regions with (possibly empty for none-translator) output
+        keep_all = config.translator.translator in (Translator.none,
+                                                    Translator.original)
+        if keep_all:
+            return text_regions
+        return [r for r in text_regions
+                if getattr(r, 'translation', '') != ''
+                or config.translator.translator == Translator.none]
+
+    async def _validate_translations(self, config: Config, ctx: Context,
+                                     regions: List[TextBlock]):
+        from . import translators
+        threshold = config.translator.post_check_repetition_threshold
+        max_retries = config.translator.post_check_max_retry_attempts
+        chain = config.translator.translator_gen
+        for region in regions:
+            for attempt in range(max_retries):
+                if not self._check_repetition_hallucination(
+                        region.translation, threshold):
+                    break
+                logger.warning(f'Hallucination detected, retrying '
+                               f'({attempt + 1}/{max_retries}): '
+                               f'{region.translation[:60]}')
+                try:
+                    result = await translators.dispatch(
+                        chain, [region.text], config.translator,
+                        False, ctx, self.device)
+                    region.translation = result[0] if result else ''
+                except Exception as e:
+                    logger.warning(f'retry failed: {e}')
+                    break
+
+    @staticmethod
+    def _check_repetition_hallucination(text: str, threshold: int = 20
+                                        ) -> bool:
+        """True when the text has >= threshold consecutive repeats of a
+        token (reference _check_repetition_hallucination :2586)."""
+        if not text:
+            return False
+        for size in (1, 2, 3):
+            count = 1
+            for i in range(len(text) - size, -1, -size):
+                if i - size >= 0 and text[i:i + size] == text[i - size:i]:
+                    count += 1
+                    if count >= threshold:
+                        return True
+                else:
+                    count = 1
+        return False
+
+    async def _run_mask_refinement(self, config: Config, ctx: Context):
+        from . import mask_refinement
+        return await mask_refinement.dispatch(
+            ctx.text_regions, ctx.img_rgb, ctx.mask_raw, 'fit_text',
+            config.mask_dilation_offset, config.ocr.ignore_bubble,
+            self.verbose, self.kernel_size)
+
+    async def _run_inpainting(self, config: Config, ctx: Context):
+        from . import inpainting
+        self._mark_used('inpainting', config.inpainter.inpainter)
+        return await inpainting.dispatch(
+            config.inpainter.inpainter, ctx.img_rgb, ctx.mask,
+            config.inpainter, config.inpainter.inpainting_size, self.device,
+            self.verbose)
+
+    async def _run_text_rendering(self, config: Config, ctx: Context):
+        from . import rendering
+        if config.render.renderer == Renderer.none:
+            return ctx.img_inpainted
+        if (config.render.renderer == Renderer.manga2Eng
+                and ctx.text_regions and ctx.text_regions[0].target_lang == 'ENG'):
+            return await rendering.dispatch_eng_render(
+                np.copy(ctx.img_inpainted), ctx.img_rgb, ctx.text_regions,
+                self.font_path, config.render.line_spacing or 0,
+                config.render.disable_font_border)
+        if config.render.renderer == Renderer.manga2EngPillow:
+            return await rendering.dispatch_eng_render_pillow(
+                np.copy(ctx.img_inpainted), ctx.img_rgb, ctx.text_regions,
+                self.font_path, config.render.line_spacing or 0,
+                config.render.disable_font_border)
+        return await rendering.dispatch(
+            np.copy(ctx.img_inpainted), ctx.text_regions, self.font_path,
+            config.render.font_size, config.render.font_size_offset,
+            config.render.font_size_minimum,
+            not config.render.no_hyphenation, None,
+            config.render.line_spacing, config.render.disable_font_border)
+
+    # -- batch mode -----------------------------------------------------------
+    async def translate_batch(self, images_with_configs,
+                              batch_size: Optional[int] = None
+                              ) -> List[Context]:
+        """Batch pipeline (reference :1458-2560): phase 1 runs every page up
+        to translation (device-bound), phase 2 translates all pages in one
+        batched LLM call (or concurrently), phase 3 completes
+        mask/inpaint/render per page."""
+        batch_size = batch_size or self.batch_size
+        contexts: List[Context] = []
+        configs: List[Config] = []
+
+        # Phase 1: detection/OCR/merge for all pages
+        for image, config in images_with_configs:
+            ctx = Context()
+            ctx.input = image
+            ctx.result = None
+            try:
+                ctx = await self._translate_until_translation(config, ctx)
+            except Exception:
+                logger.error(f'batch phase-1 failure:\n'
+                             f'{traceback.format_exc()}')
+                if not self.ignore_errors:
+                    raise
+                ctx.text_regions = []
+            contexts.append(ctx)
+            configs.append(config)
+
+        # Phase 2: batched translation
+        if self.batch_concurrent:
+            await self._concurrent_translate_contexts(contexts, configs)
+        else:
+            await self._batch_translate_contexts(contexts, configs,
+                                                 batch_size)
+
+        # Phase 3: completion
+        for ctx, config in zip(contexts, configs):
+            try:
+                await self._complete_translation_pipeline(config, ctx)
+            except Exception:
+                logger.error(f'batch phase-3 failure:\n'
+                             f'{traceback.format_exc()}')
+                if not self.ignore_errors:
+                    raise
+                ctx.result = ctx.get('upscaled', ctx.input)
+        return contexts
+
+    async def _translate_until_translation(self, config: Config,
+                                           ctx: Context) -> Context:
+        if config.colorizer.colorizer != Colorizer.none:
+            ctx.img_colorized = await self._run_colorizer(config, ctx)
+        else:
+            ctx.img_colorized = ctx.input
+        if config.upscale.upscale_ratio:
+            ctx.upscaled = await self._run_upscaling(config, ctx)
+        else:
+            ctx.upscaled = ctx.img_colorized
+        ctx.img_rgb, ctx.img_alpha = load_image(ctx.upscaled)
+        ctx.textlines, ctx.mask_raw, ctx.mask = await self._run_detection(
+            config, ctx)
+        if not ctx.textlines:
+            ctx.text_regions = []
+            return ctx
+        ctx.textlines = await self._run_ocr(config, ctx)
+        if not ctx.textlines:
+            ctx.text_regions = []
+            return ctx
+        ctx.text_regions = await self._run_textline_merge(config, ctx)
+        return ctx
+
+    async def _batch_translate_contexts(self, contexts: List[Context],
+                                        configs: List[Config],
+                                        batch_size: int):
+        from . import translators
+        for start in range(0, len(contexts), batch_size):
+            chunk = contexts[start:start + batch_size]
+            chunk_cfgs = configs[start:start + batch_size]
+            batch_queries = [[r.text for r in (ctx.get('text_regions') or [])]
+                             for ctx in chunk]
+            if not any(batch_queries):
+                continue
+            config = chunk_cfgs[0]
+            chain = config.translator.translator_gen
+            batch_results = await translators.dispatch_batch(
+                chain, batch_queries, config.translator, self.use_mtpe,
+                None, self.device)
+            for ctx, cfg, translations in zip(chunk, chunk_cfgs,
+                                              batch_results):
+                self._apply_translations(cfg, ctx, translations)
+
+    async def _concurrent_translate_contexts(self, contexts: List[Context],
+                                             configs: List[Config]):
+        from . import translators
+
+        async def one(ctx: Context, config: Config):
+            regions = ctx.get('text_regions') or []
+            queries = [r.text for r in regions]
+            if not queries:
+                return
+            chain = config.translator.translator_gen
+            translations = await translators.dispatch(
+                chain, queries, config.translator, self.use_mtpe, ctx,
+                self.device)
+            self._apply_translations(config, ctx, translations)
+
+        await asyncio.gather(*(one(c, cfg)
+                               for c, cfg in zip(contexts, configs)))
+
+    def _apply_translations(self, config: Config, ctx: Context,
+                            translations: List[str]):
+        post_dict = load_dictionary(self.post_dict)
+        regions = ctx.get('text_regions') or []
+        for region, translation in zip(regions, translations):
+            translation = apply_dictionary(translation or '', post_dict)
+            if config.render.uppercase:
+                translation = translation.upper()
+            elif config.render.lowercase:
+                translation = translation.lower()
+            region.translation = translation
+            region.target_lang = config.translator.target_lang
+
+    async def _complete_translation_pipeline(self, config: Config,
+                                             ctx: Context) -> Context:
+        if not ctx.get('text_regions'):
+            ctx.result = ctx.get('upscaled', ctx.input)
+            return await self._revert_upscale(config, ctx)
+        keep = [r for r in ctx.text_regions
+                if getattr(r, 'translation', '') != ''
+                or config.translator.translator in (Translator.none,)]
+        ctx.text_regions = keep
+        if ctx.mask is None:
+            ctx.mask = await self._run_mask_refinement(config, ctx)
+        ctx.img_inpainted = await self._run_inpainting(config, ctx)
+        ctx.gimp_mask = np.dstack(
+            (cv2.cvtColor(ctx.img_inpainted, cv2.COLOR_RGB2BGR), ctx.mask))
+        ctx.img_rendered = await self._run_text_rendering(config, ctx)
+        ctx.result = dump_image(ctx.img_rendered, ctx.img_alpha)
+        return await self._revert_upscale(config, ctx)
+
+
+def _lang_matches(source_lang: str, target_lang: str) -> bool:
+    """Rough equivalent of langcodes.tag_distance(...) == 0."""
+    iso_to_valid = {
+        'ja': 'JPN', 'ko': 'KOR', 'zh': 'CHS', 'ru': 'RUS', 'ar': 'ARA',
+        'en': 'ENG',
+    }
+    return iso_to_valid.get(source_lang, source_lang) == target_lang

@@ -297,7 +297,7 @@ class Quadrilateral:
         (reference generic.py:445-481).
         """
         v1, v2 = self._axes()
-        ratio = np.linalg.norm(v1) / max(np.linalg.norm(v2), 1e-9)
+        ratio = max(np.linalg.norm(v1), 1e-6) / max(np.linalg.norm(v2), 1e-6)
 
         src = self.pts.astype(np.int64).copy()
         im_h, im_w = img.shape[:2]
@@ -315,6 +315,11 @@ class Quadrilateral:
         else:
             w = max(int(textheight), 2)
             h = max(int(round(textheight * ratio)), 2)
+        if crop.size == 0:  # degenerate quad fully outside the image
+            out = np.zeros((h, w) + img.shape[2:], dtype=img.dtype)
+            if direction == 'v':
+                out = np.swapaxes(out, 0, 1)
+            return out
         dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
                        dtype=np.float32)
         M = cv2.getPerspectiveTransform(src.astype(np.float32), dst)

@@ -22,6 +22,13 @@ import jax  # noqa: E402
 # works any time before backend initialization.
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: pipeline tests compile several large XLA
+# programs (detector, beam search, inpainting); cache them across runs.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.expanduser('~'), '.cache',
+                               'mit-tpu-jax-test-cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests with random model weights (offline CI): the
+full translate() flow must run detection → OCR → merge → translate → mask →
+inpaint → render and return a Context with a result image."""
+import asyncio
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from manga_image_translator_tpu.config import (
+    Config,
+    Detector,
+    Inpainter,
+    InpainterConfig,
+    Ocr,
+    Translator,
+)
+from manga_image_translator_tpu.manga_translator import (
+    MangaTranslator,
+    fix_brackets,
+    load_dictionary,
+    apply_dictionary,
+)
+
+
+def make_page():
+    img = np.full((400, 300, 3), 255, np.uint8)
+    cv2.putText(img, 'HELLO', (40, 100), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+                (0, 0, 0), 3)
+    cv2.putText(img, 'WORLD', (40, 200), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+                (0, 0, 0), 3)
+    return Image.fromarray(img)
+
+
+def base_config(**overrides):
+    cfg = {
+        'detector': {'detector': 'default', 'detection_size': 256},
+        'ocr': {'ocr': '48px'},
+        'translator': {'translator': 'none', 'target_lang': 'ENG',
+                       'enable_post_translation_check': False},
+        'inpainter': {'inpainter': 'none'},
+    }
+    cfg.update(overrides)
+    return Config(**cfg)
+
+
+class TestPipeline:
+    def test_full_translate_returns_context(self):
+        translator = MangaTranslator({'use_gpu': False,
+                                      'ignore_errors': False})
+        ctx = asyncio.run(translator.translate(make_page(), base_config()))
+        assert ctx.result is not None
+        assert ctx.result.size == (300, 400)
+
+    def test_blank_page_skips(self):
+        translator = MangaTranslator({'use_gpu': False})
+        blank = Image.fromarray(np.full((300, 300, 3), 255, np.uint8))
+        ctx = asyncio.run(translator.translate(blank, base_config()))
+        # no text regions -> result is the (un)upscaled input
+        assert ctx.result is not None
+
+    def test_progress_hooks_called(self):
+        translator = MangaTranslator({'use_gpu': False})
+        states = []
+
+        async def hook(state, finished):
+            states.append(state)
+
+        translator.add_progress_hook(hook)
+        asyncio.run(translator.translate(make_page(), base_config()))
+        assert 'detection' in states
+
+    def test_batch_translate(self):
+        translator = MangaTranslator({'use_gpu': False})
+        pages = [(make_page(), base_config()) for _ in range(2)]
+        contexts = asyncio.run(translator.translate_batch(pages))
+        assert len(contexts) == 2
+        for ctx in contexts:
+            assert ctx.result is not None
+
+
+class TestHelpers:
+    def test_fix_brackets_removes_unpaired(self):
+        assert fix_brackets('text)') == 'text'
+        assert fix_brackets('(text') == 'text'
+        assert fix_brackets('(text)') == '(text)'
+
+    def test_fix_brackets_repairs_mismatch(self):
+        assert fix_brackets('(text]') == '(text)'
+        assert fix_brackets('「text》') == '「text」'
+
+    def test_dictionary(self, tmp_path):
+        p = tmp_path / 'dict.txt'
+        p.write_text('foo\tbar\nbaz\n')
+        d = load_dictionary(str(p))
+        assert apply_dictionary('foo baz qux', d) == 'bar  qux'
+
+    def test_hallucination_check(self):
+        check = MangaTranslator._check_repetition_hallucination
+        assert check('ab' * 30, 20)
+        assert check('x' * 25, 20)
+        assert not check('a normal sentence with words', 20)
+        assert not check('', 20)
