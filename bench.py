@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""End-to-end TPU benchmark: pages/sec/chip (detect + OCR + inpaint) at
+1536px — the BASELINE.json north-star metric.
+
+Workload definition (kept fixed across rounds so numbers are comparable):
+  * detection: device bilateral prefilter + DBNet-ResNet34 forward on a
+    1536×1536 page (bf16) + host DB postprocess on a realistic prob map
+  * OCR: 24 textline crops (48×256), two 16-crop chunks of the 48px
+    transformer, beam k=5, 64 decode steps (typical manga line length;
+    random weights never emit the end token, so unbounded decode would
+    measure an unrealistic tail)
+  * inpainting: LaMa-large (18 FFC blocks) at 1536×1536, bf16 with fp32 FFTs
+
+Device work is forced with scalar reductions — stage outputs stay in HBM in
+the real pipeline, and this environment tunnels host transfers over the
+network, which would swamp the measurement with an artifact.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the 20 pages/sec/chip target from
+BASELINE.md (the reference publishes no numbers of its own).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('MIT_TPU_OCR_MAX_LEN', '64')
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# persistent compile cache: the three stage graphs are large and the TPU may
+# sit behind a remote-compile tunnel
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.expanduser('~'), '.cache',
+                               'mit-tpu-jax-bench-cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+PAGE = 1536
+N_WARMUP = 2
+N_ITERS = 5
+BASELINE_TARGET = 20.0  # pages/sec/chip north star
+
+
+def _timed_scalar(fn, *args, n=N_ITERS):
+    for _ in range(N_WARMUP):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        s = float(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def _bf16(params):
+    return {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+            for k, v in params.items()}
+
+
+def bench_detection():
+    from manga_image_translator_tpu.detection.db_postprocess import DBPostprocess
+    from manga_image_translator_tpu.models.dbnet import dbnet_forward, init_params
+    from manga_image_translator_tpu.ops.bilateral import bilateral_filter
+
+    params = _bf16(init_params(jax.random.PRNGKey(0)))
+    rs = np.random.RandomState(0)
+    page = jnp.asarray(rs.randint(0, 255, (PAGE, PAGE, 3), dtype=np.uint8))
+
+    @jax.jit
+    def run(page):
+        smoothed = bilateral_filter(page, 17, 80.0, 80.0)
+        x = smoothed.astype(jnp.bfloat16)[None] / 127.5 - 1.0
+        db, mask = dbnet_forward(params, x)
+        prob = jax.nn.sigmoid(db[..., 0].astype(jnp.float32))
+        return prob.sum() + mask.astype(jnp.float32).sum()
+
+    t_dev = _timed_scalar(run, page)
+
+    # host postprocess on a realistic synthetic prob map (~25 textlines)
+    prob_np = np.zeros((PAGE, PAGE), np.float32)
+    rs2 = np.random.RandomState(3)
+    for _ in range(25):
+        x, y = rs2.randint(0, PAGE - 300), rs2.randint(0, PAGE - 60)
+        prob_np[y:y + 40, x:x + 280] = 0.9
+    det = DBPostprocess(0.5, 0.7, unclip_ratio=2.3)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        det(prob_np, PAGE, PAGE)
+    t_post = (time.perf_counter() - t0) / 3
+    return t_dev, t_post
+
+
+def bench_ocr():
+    from manga_image_translator_tpu.models import ocr48
+
+    params = _bf16(ocr48.init_params(dict_size=7935))
+    rs = np.random.RandomState(1)
+    crops = jnp.asarray(
+        rs.randint(0, 255, (16, 48, 256, 3), dtype=np.uint8),
+        jnp.float32) / 127.5 - 1.0
+    widths = jnp.asarray([200 + (i % 5) * 10 for i in range(16)], jnp.int32)
+    max_len = int(os.environ['MIT_TPU_OCR_MAX_LEN'])
+
+    @jax.jit
+    def run(crops, widths):
+        ret = ocr48.beam_decode(params, crops, widths, beams_k=5,
+                                max_len=max_len)
+        return (ret['probs'].sum()
+                + ret['sequences'].astype(jnp.float32).sum())
+
+    t_chunk = _timed_scalar(run, crops, widths)
+    return t_chunk * 1.5  # 24 crops/page → 1.5 chunks of 16
+
+
+def bench_inpainting():
+    from manga_image_translator_tpu.models import lama
+
+    params = lama.init_params(n_blocks=18, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.rand(1, PAGE, PAGE, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(1, PAGE, PAGE, 1) < 0.1).astype(np.float32))
+
+    @jax.jit
+    def run(img, mask):
+        x = img.astype(jnp.bfloat16) * (1 - mask.astype(jnp.bfloat16))
+        out = lama.lama_generator_forward(params, x,
+                                          mask.astype(jnp.bfloat16),
+                                          n_blocks=18)
+        comp = out.astype(jnp.float32) * mask + img * (1 - mask)
+        return comp.sum()
+
+    return _timed_scalar(run, img, mask)
+
+
+def main():
+    t_det, t_post = bench_detection()
+    t_ocr = bench_ocr()
+    t_inp = bench_inpainting()
+    per_page = t_det + t_post + t_ocr + t_inp
+    pages_per_sec = 1.0 / per_page
+    print(f'# detection(dev): {t_det*1000:.1f} ms | det post(host): '
+          f'{t_post*1000:.1f} ms | ocr: {t_ocr*1000:.1f} ms | inpaint: '
+          f'{t_inp*1000:.1f} ms | total {per_page*1000:.1f} ms/page',
+          file=sys.stderr)
+    print(json.dumps({
+        'metric': 'pages_per_sec_per_chip_e2e_1536px',
+        'value': round(pages_per_sec, 3),
+        'unit': 'pages/s',
+        'vs_baseline': round(pages_per_sec / BASELINE_TARGET, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -28,7 +28,9 @@ TEXT_HEIGHT = 48
 MAX_CHUNK = 16
 # width buckets bound the number of compiled beam-search graphs
 WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
-MAX_SEQ_LEN = 255
+# Reference decodes up to 255 tokens (model_48px.py:120); overridable so
+# CPU test environments can bound the sequential decode work.
+MAX_SEQ_LEN = int(__import__('os').environ.get('MIT_TPU_OCR_MAX_LEN', 255))
 BEAMS = 5
 
 

@@ -15,6 +15,11 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# Cap the OCR autoregressive decode length: random-weight models never emit
+# the end token, and 255 sequential steps on the CPU test backend dominate
+# wall time without adding coverage.
+os.environ.setdefault('MIT_TPU_OCR_MAX_LEN', '24')
+
 import jax  # noqa: E402
 
 # sitecustomize may import jax before this conftest runs, freezing
