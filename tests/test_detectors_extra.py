@@ -1,0 +1,84 @@
+"""Structural tests for the non-default detector families (random weights):
+shapes, jit-ability, and end-to-end dispatch."""
+import asyncio
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestCraftModel:
+    def test_forward_shapes(self):
+        from manga_image_translator_tpu.models import craft
+        params = craft.init_params()
+        rparams = craft.init_refiner_params()
+        x = jnp.zeros((1, 128, 128, 3))
+        y, feat = craft.craft_forward(params, x)
+        assert y.shape == (1, 64, 64, 2)
+        assert feat.shape == (1, 64, 64, 32)
+        refined = craft.refiner_forward(rparams, y, feat)
+        assert refined.shape == (1, 64, 64, 1)
+
+    def test_get_det_boxes(self):
+        from manga_image_translator_tpu.detection.craft import get_det_boxes
+        textmap = np.zeros((100, 100), np.float32)
+        textmap[20:40, 10:80] = 0.9
+        linkmap = np.zeros_like(textmap)
+        boxes = get_det_boxes(textmap, linkmap, 0.7, 0.4, 0.4)
+        assert len(boxes) == 1
+        box = boxes[0]
+        assert box[:, 0].max() >= 70
+
+
+class TestDBConvNext:
+    def test_forward_shapes(self):
+        from manga_image_translator_tpu.models import dbnet_convnext as m
+        params = m.init_params()
+        x = jnp.zeros((1, 256, 256, 3))
+        db, mask = m.dbnet_convnext_forward(params, x)
+        assert db.shape == (1, 256, 256, 2)
+        assert mask.shape == (1, 128, 128, 1)
+
+
+class TestCtdModel:
+    def test_forward_shapes(self):
+        from manga_image_translator_tpu.models import ctd as m
+        params = m.init_params()
+        x = jnp.zeros((1, 256, 256, 3))
+        mask, lines = m.ctd_forward(params, x)
+        assert mask.shape == (1, 256, 256, 1)
+        # line maps come out at full input resolution (DB head upsamples 4x
+        # from the 1/4-scale features)
+        assert lines.shape == (1, 256, 256, 2)
+        assert float(jnp.min(lines[..., 1])) >= 0.0
+
+    def test_textmask_refine(self):
+        from manga_image_translator_tpu.detection.ctd_textmask import refine_mask
+        from manga_image_translator_tpu.utils.geometry import Quadrilateral
+        img = np.full((100, 100, 3), 255, np.uint8)
+        cv2.putText(img, 'AB', (20, 50), cv2.FONT_HERSHEY_SIMPLEX, 1,
+                    (0, 0, 0), 2)
+        mask = np.zeros((100, 100), np.uint8)
+        mask[30:55, 15:70] = 255
+        q = Quadrilateral(np.array([[15, 30], [70, 30], [70, 55], [15, 55]]),
+                          '', 1.0)
+        refined = refine_mask(img, mask, [q])
+        assert refined.shape == mask.shape
+        assert refined.max() == 255
+
+
+@pytest.mark.parametrize('key', ['craft', 'ctd', 'dbconvnext'])
+def test_detector_dispatch_smoke(key):
+    from manga_image_translator_tpu.detection import Detector, dispatch
+    img = np.full((300, 260, 3), 255, np.uint8)
+    cv2.putText(img, 'TEXT', (40, 150), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+                (0, 0, 0), 3)
+    textlines, raw_mask, mask = asyncio.run(dispatch(
+        Detector(key), img, detect_size=256, text_threshold=0.5,
+        box_threshold=0.7, unclip_ratio=2.3, invert=False,
+        gamma_correct=False, rotate=False, device='cpu'))
+    assert isinstance(textlines, list)
+    assert raw_mask is not None
