@@ -114,16 +114,24 @@ def max_pool2d(x: Array, kernel: int, stride: int, padding: int = 0) -> Array:
         [(0, 0), (padding, padding), (padding, padding), (0, 0)])
 
 
-def avg_pool2d(x: Array, kernel: int, stride: int, padding: int = 0) -> Array:
+def avg_pool2d(x: Array, kernel: int, stride=1, padding=0,
+               count_include_pad: bool = True) -> Array:
+    """torch.nn.AvgPool2d equivalent (torch counts pad cells by default)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
     s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, stride, stride, 1),
-        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
-    if padding == 0:
+        x, 0.0, jax.lax.add, (1, kernel, kernel, 1),
+        (1, stride[0], stride[1], 1),
+        [(0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0)])
+    if count_include_pad or (padding[0] == 0 and padding[1] == 0):
         return s / (kernel * kernel)
     ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
     cnt = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, kernel, kernel, 1), (1, stride, stride, 1),
-        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+        ones, 0.0, jax.lax.add, (1, kernel, kernel, 1),
+        (1, stride[0], stride[1], 1),
+        [(0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0)])
     return s / cnt
 
 

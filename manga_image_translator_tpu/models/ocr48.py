@@ -341,11 +341,104 @@ class BeamState(NamedTuple):
     step: jax.Array          # scalar int32 — next write position
     out_idx: jax.Array       # (N*k, S+1) int32
     log_probs: jax.Array     # (N*k,) f32 — summed logprobs
-    caches: DecodeCaches     # beams share the N*k leading dim
+    caches: 'DecodeCaches'   # beams share the N*k leading dim
     done: jax.Array          # (N,) bool — sample latched
     best_seq: jax.Array      # (N, S+1) int32 latched
     best_logprob: jax.Array  # (N,) f32 latched
     best_colors: jax.Array   # (N, S, E) latched last-layer outputs
+
+
+class BeamHarness(NamedTuple):
+    """Model-specific hooks for the generic fixed-shape beam search, shared
+    by the 48px and 32px autoregressive OCR decoders."""
+    init_caches: 'callable'    # (memory_b (N*k,M,E), nk) -> caches
+    decode_step: 'callable'    # (caches, tok (N*k,), step, mask_b) -> (out, caches)
+    char_logprobs: 'callable'  # (decoded (N*k,E)) -> (N*k, V) logprobs
+    cache_gather: 'callable'   # (caches, beam_idx (N*k,)) -> caches
+    cache_out: 'callable'      # (caches) -> (N*k, S, E) per-step outputs
+    embd_dim: int
+
+
+def run_beam(harness: BeamHarness, memory: jax.Array,
+             memory_mask: jax.Array, n: int, beams_k: int, max_len: int,
+             max_finished_hypos: int) -> BeamState:
+    """Fixed-shape beam search over a while_loop with per-sample latching
+    (semantics of reference infer_beam_batch_tensor :678-801, without the
+    host-side hypothesis compaction)."""
+    nk = n * beams_k
+    memory_b = jnp.repeat(memory, beams_k, axis=0)
+    memory_mask_b = jnp.repeat(memory_mask, beams_k, axis=0)
+    caches = harness.init_caches(memory_b, nk)
+
+    out_idx = jnp.full((nk, max_len + 1), END_TOK, jnp.int32)
+    out_idx = out_idx.at[:, 0].set(START_TOK)
+
+    decoded, caches = harness.decode_step(caches, out_idx[:, 0],
+                                          jnp.int32(0), memory_mask_b)
+    logp = harness.char_logprobs(decoded)
+    top_v, top_i = jax.lax.top_k(logp, beams_k)
+    beam_pos = jnp.arange(nk) % beams_k
+    out_idx = out_idx.at[:, 1].set(top_i[jnp.arange(nk), beam_pos])
+    log_probs = top_v[jnp.arange(nk), beam_pos]
+
+    state = BeamState(
+        step=jnp.int32(1), out_idx=out_idx, log_probs=log_probs,
+        caches=caches, done=jnp.zeros((n,), bool),
+        best_seq=jnp.full((n, max_len + 1), END_TOK, jnp.int32),
+        best_logprob=jnp.full((n,), -jnp.inf, jnp.float32),
+        best_colors=jnp.zeros((n, max_len, harness.embd_dim), memory.dtype))
+
+    def latch(state: BeamState, newly_done: jax.Array) -> BeamState:
+        lp = state.log_probs.reshape(n, beams_k)
+        best_beam = jnp.argmax(lp, axis=1)
+        flat = jnp.arange(n) * beams_k + best_beam
+        seq = state.out_idx[flat]
+        colors = harness.cache_out(state.caches)[flat]
+        take = newly_done[:, None]
+        return state._replace(
+            done=state.done | newly_done,
+            best_seq=jnp.where(take, seq, state.best_seq),
+            best_logprob=jnp.where(newly_done, lp[jnp.arange(n), best_beam],
+                                   state.best_logprob),
+            best_colors=jnp.where(take[:, :, None], colors,
+                                  state.best_colors))
+
+    def cond(state: BeamState):
+        return (state.step < max_len) & ~jnp.all(state.done)
+
+    def body(state: BeamState) -> BeamState:
+        step = state.step
+        last_tok = state.out_idx[jnp.arange(nk), step]
+        decoded, caches = harness.decode_step(state.caches, last_tok, step,
+                                              memory_mask_b)
+        logp = harness.char_logprobs(decoded)
+        top_v, top_i = jax.lax.top_k(logp, beams_k)
+        finished = last_tok == END_TOK
+        top_v = jnp.where(finished[:, None], 0.0, top_v)
+        top_i = jnp.where(finished[:, None], END_TOK, top_i)
+
+        cand_logp = (state.log_probs[:, None]
+                     + top_v).reshape(n, beams_k * beams_k)
+        sel_v, sel_flat = jax.lax.top_k(cand_logp, beams_k)
+        parent = sel_flat // beams_k
+        new_tok_idx = sel_flat % beams_k
+        parent_flat = (jnp.arange(n)[:, None] * beams_k + parent).reshape(-1)
+
+        new_out = state.out_idx[parent_flat]
+        tok = top_i.reshape(n, beams_k, beams_k)[
+            jnp.arange(n)[:, None], parent, new_tok_idx].reshape(-1)
+        new_out = jax.vmap(lambda row, t, s: row.at[s].set(t))(
+            new_out, tok, jnp.full((nk,), step + 1))
+        new_caches = harness.cache_gather(caches, parent_flat)
+        new_state = state._replace(step=step + 1, out_idx=new_out,
+                                   log_probs=sel_v.reshape(-1),
+                                   caches=new_caches)
+        fin = (tok == END_TOK).reshape(n, beams_k)
+        newly_done = (fin.sum(axis=1) >= max_finished_hypos) & ~state.done
+        return latch(new_state, newly_done)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return latch(state, ~state.done)
 
 
 @functools.partial(jax.jit,
@@ -370,103 +463,18 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
                    >= jnp.minimum(valid_feats, mem_len)[:, None])
     memory = encoder_forward(params, memory, memory_mask)
 
-    nk = n * beams_k
-    # expand to beams
-    memory_b = jnp.repeat(memory, beams_k, axis=0)
-    memory_mask_b = jnp.repeat(memory_mask, beams_k, axis=0)
-    caches = init_caches(params, memory_b, nk, max_len)
-
-    out_idx = jnp.full((nk, max_len + 1), END_TOK, jnp.int32)
-    out_idx = out_idx.at[:, 0].set(START_TOK)
-
-    # step 0: run start token for all beams (identical within a sample)
-    decoded, caches = decode_step(params, caches,
-                                  out_idx[:, 0], jnp.int32(0), memory_mask_b)
-    logp = char_logprobs(params, decoded)           # (nk, V)
-    top_v, top_i = jax.lax.top_k(logp, beams_k)     # (nk, k)
-    # beams within a sample take distinct first tokens
-    beam_pos = jnp.arange(nk) % beams_k
-    first_tok = top_v[jnp.arange(nk), beam_pos], top_i[jnp.arange(nk), beam_pos]
-    out_idx = out_idx.at[:, 1].set(first_tok[1])
-    log_probs = first_tok[0]
-
-    state = BeamState(
-        step=jnp.int32(1),
-        out_idx=out_idx,
-        log_probs=log_probs,
-        caches=caches,
-        done=jnp.zeros((n,), bool),
-        best_seq=jnp.full((n, max_len + 1), END_TOK, jnp.int32),
-        best_logprob=jnp.full((n,), -jnp.inf, jnp.float32),
-        best_colors=jnp.zeros((n, max_len, EMBD_DIM), memory.dtype),
-    )
-
-    def latch(state: BeamState, newly_done: jax.Array) -> BeamState:
-        """Record the best beam of each newly-done sample."""
-        lp = state.log_probs.reshape(n, beams_k)
-        best_beam = jnp.argmax(lp, axis=1)                       # (N,)
-        flat = jnp.arange(n) * beams_k + best_beam
-        seq = state.out_idx[flat]
-        colors = state.caches.out[flat]
-        take = newly_done[:, None]
-        return state._replace(
-            done=state.done | newly_done,
-            best_seq=jnp.where(take, seq, state.best_seq),
-            best_logprob=jnp.where(newly_done, lp[jnp.arange(n), best_beam],
-                                   state.best_logprob),
-            best_colors=jnp.where(take[:, :, None] if colors.ndim == 3
-                                  else take, colors, state.best_colors),
-        )
-
-    def cond(state: BeamState):
-        return (state.step < max_len) & ~jnp.all(state.done)
-
-    def body(state: BeamState) -> BeamState:
-        step = state.step
-        last_tok = jax.vmap(lambda row, s: row[s])(
-            state.out_idx, jnp.full((nk,), step))
-        decoded, caches = decode_step(params, state.caches, last_tok, step,
-                                      memory_mask_b)
-        logp = char_logprobs(params, decoded)          # (nk, V)
-        top_v, top_i = jax.lax.top_k(logp, beams_k)    # (nk, k)
-        finished = last_tok == END_TOK
-        top_v = jnp.where(finished[:, None], 0.0, top_v)
-        top_i = jnp.where(finished[:, None], END_TOK, top_i)
-
-        cand_logp = (state.log_probs[:, None] + top_v).reshape(n,
-                                                               beams_k * beams_k)
-        sel_v, sel_flat = jax.lax.top_k(cand_logp, beams_k)  # (N, k)
-        parent = sel_flat // beams_k                         # beam idx in 0..k-1
-        new_tok_idx = sel_flat % beams_k
-        parent_flat = (jnp.arange(n)[:, None] * beams_k + parent).reshape(-1)
-
-        new_out = state.out_idx[parent_flat]
-        tok = top_i.reshape(n, beams_k, beams_k)[
-            jnp.arange(n)[:, None], parent, new_tok_idx].reshape(-1)
-        new_out = jax.vmap(
-            lambda row, t, s: row.at[s].set(t))(
-                new_out, tok, jnp.full((nk,), step + 1))
-        new_logp = sel_v.reshape(-1)
-
-        # gather caches along the beam dimension
-        new_caches = DecodeCaches(
-            self_k=state.caches.self_k[:, parent_flat],
-            self_v=state.caches.self_v[:, parent_flat],
-            mem_k=state.caches.mem_k,
-            mem_v=state.caches.mem_v,
-            out=state.caches.out[parent_flat],
-        )
-
-        new_state = state._replace(step=step + 1, out_idx=new_out,
-                                   log_probs=new_logp, caches=new_caches)
-
-        fin = (tok == END_TOK).reshape(n, beams_k)
-        newly_done = (fin.sum(axis=1) >= max_finished_hypos) & ~state.done
-        return latch(new_state, newly_done)
-
-    state = jax.lax.while_loop(cond, body, state)
-    # fallback for samples that never finished: best live beam
-    state = latch(state, ~state.done)
+    harness = BeamHarness(
+        init_caches=lambda mem_b, nk: init_caches(params, mem_b, nk, max_len),
+        decode_step=lambda caches, tok, step, mask_b: decode_step(
+            params, caches, tok, step, mask_b),
+        char_logprobs=lambda dec: char_logprobs(params, dec),
+        cache_gather=lambda caches, idx: DecodeCaches(
+            self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
+            mem_k=caches.mem_k, mem_v=caches.mem_v, out=caches.out[idx]),
+        cache_out=lambda caches: caches.out,
+        embd_dim=EMBD_DIM)
+    state = run_beam(harness, memory, memory_mask, n, beams_k, max_len,
+                     max_finished_hypos)
 
     fg, bg, fg_ind, bg_ind = color_predictions(params, state.best_colors)
     return {

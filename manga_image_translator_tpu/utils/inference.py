@@ -69,6 +69,9 @@ class ModelWrapper(InfererModule):
 
     def _mapping_file_path(self, map_key: str) -> Path:
         mapping = self._MODEL_MAPPING[map_key]
+        if 'archive' in mapping:
+            # first member of the archive is the canonical artifact
+            return self._get_file_path(next(iter(mapping['archive'])))
         fname = mapping.get('file', '.')
         if fname == '.':
             fname = mapping['url'].split('/')[-1]
@@ -87,13 +90,27 @@ class ModelWrapper(InfererModule):
             self.model_dir.mkdir(parents=True, exist_ok=True)
             url = mapping['url']
             self.logger.info(f'Downloading {url}')
+            is_archive = 'archive' in mapping or url.endswith('.zip')
+            target = (self.model_dir / url.split('/')[-1]
+                      if is_archive else path)
             try:
-                self._download_file(url, path)
+                self._download_file(url, target)
             except Exception as e:
                 raise ModelDownloadError(f'Failed to download {url}: {e}')
             digest = mapping.get('hash')
             if digest:
-                self._verify_file(path, digest)
+                self._verify_file(target, digest)
+            if is_archive:
+                self._extract_archive(target, mapping.get('archive'))
+
+    def _extract_archive(self, archive_path: Path, members: Optional[Dict]):
+        import zipfile
+        with zipfile.ZipFile(archive_path) as zf:
+            names = list(members) if members else zf.namelist()
+            for name in names:
+                if name in zf.namelist():
+                    zf.extract(name, self.model_dir)
+        archive_path.unlink(missing_ok=True)
 
     def _download_file(self, url: str, path: Path):
         import requests

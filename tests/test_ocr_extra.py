@@ -1,0 +1,70 @@
+"""Tests for the CTC and 32px OCR backends (random weights)."""
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+DICT = 64
+
+
+class TestCTCModel:
+    def test_forward_shapes(self):
+        from manga_image_translator_tpu.models import ocr48_ctc
+        params = ocr48_ctc.init_params(DICT)
+        x = jnp.zeros((2, 48, 128, 3))
+        logprobs, colors = ocr48_ctc.ctc_forward(params, x)
+        assert logprobs.shape[0] == 2
+        assert logprobs.shape[2] == DICT
+        assert colors.shape[2] == 6
+        # log-softmax normalized
+        s = np.exp(np.asarray(logprobs[0, 0])).sum()
+        assert s == pytest.approx(1.0, abs=1e-3)
+
+    def test_ctc_greedy_decode(self):
+        from manga_image_translator_tpu.ocr.model_48px_ctc import Model48pxCTCOCR
+        ocr = Model48pxCTCOCR.__new__(Model48pxCTCOCR)
+        T, V = 6, 5
+        logprobs = np.full((1, T, V), -10.0, np.float32)
+        # sequence: blank, a, a, blank, b, b  -> "ab" after collapse
+        path = [0, 2, 2, 0, 3, 3]
+        for t, ch in enumerate(path):
+            logprobs[0, t, ch] = -0.1
+        colors = np.zeros((1, T, 6), np.float32)
+        out = ocr._decode_ctc(logprobs, colors)
+        assert [c[0] for c in out[0]] == [2, 3]
+
+    def test_positional_encoding_matches_torch_formula(self):
+        import math
+        from manga_image_translator_tpu.models.ocr48_ctc import _sinusoidal_pe
+        pe = _sinusoidal_pe(16, 320)
+        assert pe[0, 0] == 0
+        assert pe[1, 0] == pytest.approx(math.sin(1.0))
+        assert pe[1, 1] == pytest.approx(math.cos(1.0))
+
+
+class TestOCR32Model:
+    def test_beam_decode_shapes(self):
+        from manga_image_translator_tpu.models import ocr32
+        params = ocr32.init_params(DICT)
+        imgs = jnp.zeros((2, 32, 64, 3))
+        ret = ocr32.beam_decode(params, imgs, jnp.asarray([40, 64]),
+                                beams_k=2, max_len=8)
+        assert ret['sequences'].shape == (2, 8)
+        assert ret['probs'].shape == (2,)
+        assert ret['colors'].shape == (2, 8, 6)
+        assert float(np.max(np.asarray(ret['colors']))) <= 1.0
+
+
+@pytest.mark.parametrize('key', ['48px_ctc', '32px'])
+def test_ocr_dispatch_smoke(key):
+    from manga_image_translator_tpu.config import Ocr
+    from manga_image_translator_tpu.ocr import dispatch
+    from manga_image_translator_tpu.utils.geometry import Quadrilateral
+
+    img = np.random.randint(0, 255, (150, 250, 3), dtype=np.uint8)
+    quads = [Quadrilateral(np.array([[20, 20], [150, 20], [150, 50],
+                                     [20, 50]]), '', 1.0)]
+    result = asyncio.run(dispatch(Ocr(key), img, quads, device='cpu'))
+    assert isinstance(result, list)
