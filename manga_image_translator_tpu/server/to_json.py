@@ -68,11 +68,49 @@ class Translation(BaseModel):
         return out
 
 
+def _load_native_codec():
+    """Native C++ codec (native/wirecodec.cpp) — byte-identical output,
+    single-buffer encoding for large batch responses."""
+    import importlib
+    import os
+    import sys
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'native')
+    if native_dir not in sys.path and os.path.isdir(native_dir):
+        sys.path.append(native_dir)
+    try:
+        return importlib.import_module('wirecodec')
+    except ImportError:
+        return None
+
+
+_native_codec = _load_native_codec()
+
+
 class TranslationResponse(BaseModel):
     translations: List[Translation]
     debug_folder: Optional[str] = None
 
     def to_bytes(self) -> bytes:
+        if _native_codec is not None:
+            items = []
+            for t in self.translations:
+                items.append({
+                    'minX': t.minX, 'minY': t.minY, 'maxX': t.maxX,
+                    'maxY': t.maxY,
+                    'is_bulleted_list': t.is_bulleted_list,
+                    'angle': float(t.angle), 'prob': float(t.prob),
+                    'fg': tuple(t.text_color.fg),
+                    'bg': tuple(t.text_color.bg),
+                    'text': t.text,
+                    'background': (t.background.tobytes()
+                                   if t.background is not None else b''),
+                })
+            return _native_codec.encode(items)
+        items = [t.to_bytes() for t in self.translations]
+        return struct.pack('i', len(items)) + b''.join(items)
+
+    def to_bytes_python(self) -> bytes:
         items = [t.to_bytes() for t in self.translations]
         return struct.pack('i', len(items)) + b''.join(items)
 

@@ -75,6 +75,28 @@ class TestWireFormat:
         (count,) = struct.unpack_from('i', data, 0)
         assert count == 3
 
+    def test_native_codec_byte_identical(self):
+        from manga_image_translator_tpu.server import to_json
+        if to_json._native_codec is None:
+            pytest.skip('native codec not built')
+        resp = TranslationResponse(translations=[make_translation()] * 4)
+        assert resp.to_bytes() == resp.to_bytes_python()
+
+    def test_native_codec_roundtrip(self):
+        from manga_image_translator_tpu.server import to_json
+        codec = to_json._native_codec
+        if codec is None:
+            pytest.skip('native codec not built')
+        t = make_translation()
+        resp = TranslationResponse(translations=[t])
+        decoded = codec.decode(resp.to_bytes())
+        assert len(decoded) == 1
+        d = decoded[0]
+        assert (d['minX'], d['maxY']) == (1, 40)
+        assert d['text']['ENG'] == 'hello'
+        assert d['fg'] == (0, 0, 0)
+        assert len(d['background']) == 4 * 4 * 3
+
     def test_to_translation_from_context(self):
         ctx = Context()
         blk = TextBlock([[[10, 10], [90, 10], [90, 40], [10, 40]]],
