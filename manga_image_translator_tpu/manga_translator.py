@@ -102,6 +102,14 @@ def fix_brackets(text: str) -> str:
     return ''.join(out)
 
 
+
+def _timed(ctx: Context, name: str):
+    timer = ctx.get('timer')
+    if timer is None:
+        import contextlib
+        return contextlib.nullcontext()
+    return timer.stage(name)
+
 class MangaTranslator:
     """The full page-translation pipeline."""
 
@@ -194,7 +202,17 @@ class MangaTranslator:
         ctx.verbose = self.verbose
         if image_name:
             self._result_sub = os.path.splitext(os.path.basename(image_name))[0]
-        return await self._translate(config, ctx)
+        from .utils.profiling import StageTimer, device_trace
+        ctx.timer = StageTimer()
+        with device_trace('translate'):
+            ctx = await self._translate(config, ctx)
+        ctx.stage_durations = ctx.timer.report()
+        if ctx.stage_durations:
+            logger.info(f'stage times: {ctx.timer.summary()}')
+            for name, dt in ctx.stage_durations.items():
+                await self._report_progress(
+                    f'stage-time:{name}:{dt * 1000:.1f}')
+        return ctx
 
     async def _translate(self, config: Config, ctx: Context) -> Context:
         if self._detector_cleanup_task is None and self.models_ttl > 0:
@@ -205,7 +223,8 @@ class MangaTranslator:
         if config.colorizer.colorizer != Colorizer.none:
             await self._report_progress('colorizing')
             try:
-                ctx.img_colorized = await self._run_colorizer(config, ctx)
+                with _timed(ctx, 'colorize'):
+                    ctx.img_colorized = await self._run_colorizer(config, ctx)
             except Exception:
                 logger.error(f'Error during colorizing:\n'
                              f'{traceback.format_exc()}')
@@ -219,7 +238,8 @@ class MangaTranslator:
         if config.upscale.upscale_ratio:
             await self._report_progress('upscaling')
             try:
-                ctx.upscaled = await self._run_upscaling(config, ctx)
+                with _timed(ctx, 'upscale'):
+                    ctx.upscaled = await self._run_upscaling(config, ctx)
             except Exception:
                 logger.error(f'Error during upscaling:\n'
                              f'{traceback.format_exc()}')
@@ -234,8 +254,9 @@ class MangaTranslator:
         # -- Detection
         await self._report_progress('detection')
         try:
-            ctx.textlines, ctx.mask_raw, ctx.mask = await self._run_detection(
-                config, ctx)
+            with _timed(ctx, 'detect'):
+                ctx.textlines, ctx.mask_raw, ctx.mask = \
+                    await self._run_detection(config, ctx)
         except Exception:
             logger.error(f'Error during detection:\n{traceback.format_exc()}')
             if not self.ignore_errors:
@@ -261,7 +282,8 @@ class MangaTranslator:
         # -- OCR
         await self._report_progress('ocr')
         try:
-            ctx.textlines = await self._run_ocr(config, ctx)
+            with _timed(ctx, 'ocr'):
+                ctx.textlines = await self._run_ocr(config, ctx)
         except Exception:
             logger.error(f'Error during ocr:\n{traceback.format_exc()}')
             if not self.ignore_errors:
@@ -276,7 +298,8 @@ class MangaTranslator:
         # -- Textline merge
         await self._report_progress('textline_merge')
         try:
-            ctx.text_regions = await self._run_textline_merge(config, ctx)
+            with _timed(ctx, 'textline_merge'):
+                ctx.text_regions = await self._run_textline_merge(config, ctx)
         except Exception:
             logger.error(f'Error during textline_merge:\n'
                          f'{traceback.format_exc()}')
@@ -298,7 +321,8 @@ class MangaTranslator:
         # -- Translation
         await self._report_progress('translating')
         try:
-            ctx.text_regions = await self._run_text_translation(config, ctx)
+            with _timed(ctx, 'translate'):
+                ctx.text_regions = await self._run_text_translation(config, ctx)
         except Exception:
             logger.error(f'Error during translating:\n'
                          f'{traceback.format_exc()}')
@@ -316,7 +340,8 @@ class MangaTranslator:
         if ctx.mask is None:
             await self._report_progress('mask-generation')
             try:
-                ctx.mask = await self._run_mask_refinement(config, ctx)
+                with _timed(ctx, 'mask_refine'):
+                    ctx.mask = await self._run_mask_refinement(config, ctx)
             except Exception:
                 logger.error(f'Error during mask-generation:\n'
                              f'{traceback.format_exc()}')
@@ -331,7 +356,8 @@ class MangaTranslator:
         # -- Inpainting
         await self._report_progress('inpainting')
         try:
-            ctx.img_inpainted = await self._run_inpainting(config, ctx)
+            with _timed(ctx, 'inpaint'):
+                ctx.img_inpainted = await self._run_inpainting(config, ctx)
         except Exception:
             logger.error(f'Error during inpainting:\n'
                          f'{traceback.format_exc()}')
@@ -348,7 +374,8 @@ class MangaTranslator:
         # -- Rendering
         await self._report_progress('rendering')
         try:
-            ctx.img_rendered = await self._run_text_rendering(config, ctx)
+            with _timed(ctx, 'render'):
+                ctx.img_rendered = await self._run_text_rendering(config, ctx)
         except Exception:
             logger.error(f'Error during rendering:\n'
                          f'{traceback.format_exc()}')
