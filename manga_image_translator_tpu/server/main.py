@@ -171,6 +171,12 @@ def build_app() -> web.Application:
         return web.FileResponse(path)
 
     app.router.add_get('/result/{folder}/final.png', result_file)
+
+    async def index(request):
+        path = os.path.join(os.path.dirname(__file__), 'index.html')
+        return web.FileResponse(path)
+
+    app.router.add_get('/', index)
     return app
 
 
