@@ -525,6 +525,18 @@ class MangaTranslator:
         if not queries:
             return []
 
+        # --load-text: resume after the translate stage from a saved file
+        # (reference manga_translator.py:1086-1110)
+        if self.load_text:
+            saved = self._load_saved_text(ctx)
+            if saved is not None:
+                for region in text_regions:
+                    translation = saved.get(region.text, '')
+                    region.translation = translation
+                    region.target_lang = config.translator.target_lang
+                return [r for r in text_regions
+                        if getattr(r, 'translation', '')]
+
         chain = config.translator.translator_gen
         translator = translators.get_translator(chain.translators[0])
         if hasattr(translator, 'prev_context'):
@@ -556,6 +568,23 @@ class MangaTranslator:
         return [r for r in text_regions
                 if getattr(r, 'translation', '') != ''
                 or config.translator.translator == Translator.none]
+
+    def _text_save_path(self, ctx: Context) -> str:
+        name = self._result_sub or 'page'
+        return os.path.join(self.result_path_base,
+                            f'{name}_translations.json')
+
+    def _load_saved_text(self, ctx: Context) -> Optional[Dict[str, str]]:
+        import json
+        path = self._text_save_path(ctx)
+        if not os.path.exists(path):
+            logger.warning(f'--load-text: no saved file at {path}')
+            return None
+        with open(path, encoding='utf8') as f:
+            data = json.load(f)
+        if isinstance(data, list):
+            return {d['text']: d.get('translation', '') for d in data}
+        return data
 
     async def _validate_translations(self, config: Config, ctx: Context,
                                      regions: List[TextBlock]):

@@ -106,13 +106,22 @@ class MangaTranslatorLocal(MangaTranslator):
         ctx.save_quality = self.save_quality
         save_result(ctx.result, output_path, ctx)
 
+        if self.prep_manual:
+            # blank inpainted page + original copy for manual typesetting
+            # (reference mode/local.py --prep-manual)
+            base, ext = os.path.splitext(output_path)
+            if ctx.get('img_inpainted') is not None:
+                Image.fromarray(ctx.img_inpainted).save(
+                    f'{base}-inpainted{ext}')
+            Image.open(file_path).save(f'{base}-original{ext}')
+
         if self.save_text or self.text_output_file:
-            self._save_text(file_path, ctx)
+            self._save_text(ctx)
         return True
 
-    def _save_text(self, file_path: str, ctx: Context):
-        out = self.text_output_file or (
-            os.path.splitext(file_path)[0] + '_translations.txt')
+    def _save_text(self, ctx: Context):
+        out = self.text_output_file or self._text_save_path(ctx)
+        os.makedirs(os.path.dirname(out) or '.', exist_ok=True)
         data = []
         for region in ctx.get('text_regions') or []:
             data.append({'text': region.text,
