@@ -1,0 +1,35 @@
+"""Pallas bilateral kernel: interpret-mode parity vs cv2 and the XLA
+formulation."""
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from manga_image_translator_tpu.ops.bilateral import bilateral_filter
+from manga_image_translator_tpu.ops.pallas_bilateral import (
+    bilateral_filter_pallas,
+)
+
+
+def test_matches_cv2_interior():
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (96, 130, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(bilateral_filter_pallas(jnp.asarray(img),
+                                                  9, 40.0, 40.0))
+    ref = cv2.bilateralFilter(img, 9, 40, 40)
+    diff = np.abs(ours[5:-5, 5:-5].astype(int) - ref[5:-5, 5:-5].astype(int))
+    assert diff.max() <= 1
+
+
+def test_matches_xla_formulation():
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (80, 90, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(bilateral_filter_pallas(jnp.asarray(img),
+                                                  7, 30.0, 30.0))
+    ref = np.asarray(bilateral_filter(jnp.asarray(img), 7, 30.0, 30.0))
+    diff = np.abs(ours[4:-4, 4:-4].astype(int) - ref[4:-4, 4:-4].astype(int))
+    assert diff.max() <= 1
