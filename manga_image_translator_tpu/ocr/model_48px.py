@@ -109,6 +109,7 @@ class Model48pxOCR(OfflineOCR):
                           key=lambda x: region_imgs[x].shape[1])
             is_quadrilaterals = True
 
+        ix = 0
         for indices in chunks(list(perm), MAX_CHUNK):
             widths = [region_imgs[i].shape[1] for i in indices]
             bw = bucket_width(max(widths))
@@ -116,6 +117,9 @@ class Model48pxOCR(OfflineOCR):
             for i, idx in enumerate(indices):
                 w = min(region_imgs[idx].shape[1], bw)
                 batch[i, :, :w, :] = region_imgs[idx][:, :w]
+                if verbose:
+                    self._dump_crop(batch[i], quadrilaterals[idx][1], ix)
+                ix += 1
             valid_widths = np.zeros((MAX_CHUNK,), np.int32)
             valid_widths[:len(indices)] = [min(w, bw) for w in widths]
 
@@ -157,6 +161,18 @@ class Model48pxOCR(OfflineOCR):
         if is_quadrilaterals:
             return out_regions
         return textlines
+
+    def _dump_crop(self, crop: np.ndarray, direction: str, index: int):
+        """Debug crop dump (reference model_48px.py:90-113; directory
+        overridable via MANGA_OCR_RESULT_DIR)."""
+        import os
+        import cv2
+        out_dir = os.environ.get('MANGA_OCR_RESULT_DIR', 'result/ocrs/')
+        os.makedirs(out_dir, exist_ok=True)
+        img = cv2.cvtColor(crop, cv2.COLOR_RGB2BGR)
+        if direction == 'v':
+            img = cv2.rotate(img, cv2.ROTATE_90_CLOCKWISE)
+        cv2.imwrite(os.path.join(out_dir, f'{index}.png'), img)
 
     def _decode_tokens(self, seq: np.ndarray, fg: np.ndarray, bg: np.ndarray,
                        fg_ind: np.ndarray, bg_ind: np.ndarray):

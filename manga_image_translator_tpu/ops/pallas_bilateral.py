@@ -49,18 +49,21 @@ def _kernel(sw_ref, img_hbm, out_ref, scratch, sem,
 
     acc = jnp.zeros((3, tile_h, width), jnp.float32)
     norm = jnp.zeros((tile_h, width), jnp.float32)
-    # Mosaic supports dynamic sublane (row) offsets but not dynamic lane
-    # (column) offsets, so dx is a static unroll and dy a fori_loop.
-    for dx_i in range(2 * radius + 1):
-        def body(dy_i, carry, dx_i=dx_i):
-            acc, norm = carry
-            sh = scratch[:, pl.ds(dy_i, tile_h),
+    # Mosaic needs statically-provable offsets for strided vector loads, so
+    # both window dimensions are unrolled at compile time; weights outside
+    # the circular window are zero, letting us skip those slices entirely.
+    for dy_i in range(2 * radius + 1):
+        for dx_i in range(2 * radius + 1):
+            dy = dy_i - radius
+            dx = dx_i - radius
+            if dy * dy + dx * dx > radius * radius:
+                continue  # outside the cv2 circular window
+            sh = scratch[:, dy_i:dy_i + tile_h,
                          dx_i:dx_i + width].astype(jnp.float32)
             cdiff = jnp.sum(jnp.abs(sh - center), axis=0)
             w = sw_ref[dy_i, dx_i] * jnp.exp(gauss_color * cdiff * cdiff)
-            return acc + w[None] * sh, norm + w
-
-        acc, norm = jax.lax.fori_loop(0, 2 * radius + 1, body, (acc, norm))
+            acc = acc + w[None] * sh
+            norm = norm + w
     out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
 
 

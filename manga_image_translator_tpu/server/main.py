@@ -145,6 +145,30 @@ def build_app() -> web.Application:
 
     app.router.add_post('/translate/batch/json', batch_json)
 
+    async def batch_images(request: web.Request):
+        """Batch endpoint returning a zip of translated PNGs (reference
+        server/main.py batch endpoints)."""
+        import zipfile
+        body = await request.json()
+        import base64
+        images, configs = [], []
+        for item in body.get('images', []):
+            images.append(Image.open(io.BytesIO(
+                base64.b64decode(item['image']))))
+            configs.append(Config(**(item.get('config') or {})))
+        task = BatchQueueElement(request, images, configs)
+        task_queue.add_task(task)
+        task_queue.update_event()
+        contexts = await wait_in_queue(task, None)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, 'w') as zf:
+            for i, ctx in enumerate(contexts or []):
+                zf.writestr(f'{i:04d}.png', _ctx_to_image_bytes(ctx))
+        return web.Response(body=buf.getvalue(),
+                            content_type='application/zip')
+
+    app.router.add_post('/translate/batch/images', batch_images)
+
     async def queue_size(request):
         return web.json_response({'size': len(task_queue.queue)})
 

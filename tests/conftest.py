@@ -37,6 +37,16 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    """Manual-run options (reference test/conftest.py:4-26): e.g.
+    pytest tests/test_translation_manual.py --translator chatgpt \
+        --target-lang ENG --text こんにちは"""
+    parser.addoption('--translator', default='none')
+    parser.addoption('--tgt-lang', default='ENG')
+    parser.addoption('--text', default='こんにちは')
+    parser.addoption('--count', default=1, type=int)
+
+
 @pytest.fixture(scope='session')
 def rng():
     import jax
