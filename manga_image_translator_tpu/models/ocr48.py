@@ -279,9 +279,16 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
         lp = p.scope(f'decoders.{l}')
         ap = lp.scope('self_attn')
         x_norm = lp.ln('norm1', tgt)
-        q = _split_heads(ap.dense('q_proj', x_norm) * (HEAD_DIM ** -0.5))
-        k_new = _split_heads(ap.dense('k_proj', x_norm))
-        v_new = _split_heads(ap.dense('v_proj', x_norm))
+        # fused qkv: one (E, 3E) matmul per layer instead of three — the
+        # weight concat is a loop constant XLA hoists out of the while_loop
+        wqkv = jnp.concatenate([ap['q_proj.weight'], ap['k_proj.weight'],
+                                ap['v_proj.weight']], axis=1)
+        bqkv = jnp.concatenate([ap['q_proj.bias'], ap['k_proj.bias'],
+                                ap['v_proj.bias']])
+        qkv = linear(x_norm, wqkv, bqkv)
+        q = _split_heads(qkv[..., :EMBD_DIM] * (HEAD_DIM ** -0.5))
+        k_new = _split_heads(qkv[..., EMBD_DIM:2 * EMBD_DIM])
+        v_new = _split_heads(qkv[..., 2 * EMBD_DIM:])
         q = apply_xpos(q, step_positions, step_exp, downscale=False)
         k_new = apply_xpos(k_new, step_positions, step_exp, downscale=True)
         self_k = jax.lax.dynamic_update_slice(
