@@ -676,19 +676,33 @@ class MangaTranslator:
         contexts: List[Context] = []
         configs: List[Config] = []
 
-        # Phase 1: detection/OCR/merge for all pages
+        # Phase 1: detection/OCR/merge for all pages, with an OOM-style
+        # degradation ladder (reference :1527-1624: gc + retry, then
+        # per-page degradation with smaller sizes)
         for image, config in images_with_configs:
             ctx = Context()
             ctx.input = image
             ctx.result = None
             try:
                 ctx = await self._translate_until_translation(config, ctx)
-            except Exception:
+            except Exception as first_err:
                 logger.error(f'batch phase-1 failure:\n'
                              f'{traceback.format_exc()}')
-                if not self.ignore_errors:
-                    raise
-                ctx.text_regions = []
+                import gc
+                gc.collect()
+                try:
+                    degraded = config.model_copy(deep=True)
+                    degraded.detector.detection_size = min(
+                        config.detector.detection_size, 1536)
+                    degraded.inpainter.inpainting_size = min(
+                        config.inpainter.inpainting_size, 1536)
+                    logger.warning('retrying page at degraded sizes')
+                    ctx = await self._translate_until_translation(degraded,
+                                                                  ctx)
+                except Exception:
+                    if not self.ignore_errors:
+                        raise first_err
+                    ctx.text_regions = []
             contexts.append(ctx)
             configs.append(config)
 
