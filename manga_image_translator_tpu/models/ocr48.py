@@ -279,12 +279,17 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
         lp = p.scope(f'decoders.{l}')
         ap = lp.scope('self_attn')
         x_norm = lp.ln('norm1', tgt)
-        # fused qkv: one (E, 3E) matmul per layer instead of three — the
-        # weight concat is a loop constant XLA hoists out of the while_loop
-        wqkv = jnp.concatenate([ap['q_proj.weight'], ap['k_proj.weight'],
-                                ap['v_proj.weight']], axis=1)
-        bqkv = jnp.concatenate([ap['q_proj.bias'], ap['k_proj.bias'],
-                                ap['v_proj.bias']])
+        # fused qkv: one (E, 3E) matmul per layer instead of three
+        # (fused weights precomputed by fuse_qkv_params before the loop)
+        if f'decoders.{l}.self_attn.qkv_weight' in p:
+            wqkv = ap['qkv_weight']
+            bqkv = ap['qkv_bias']
+        else:
+            wqkv = jnp.concatenate([ap['q_proj.weight'],
+                                    ap['k_proj.weight'],
+                                    ap['v_proj.weight']], axis=1)
+            bqkv = jnp.concatenate([ap['q_proj.bias'], ap['k_proj.bias'],
+                                    ap['v_proj.bias']])
         qkv = linear(x_norm, wqkv, bqkv)
         q = _split_heads(qkv[..., :EMBD_DIM] * (HEAD_DIM ** -0.5))
         k_new = _split_heads(qkv[..., EMBD_DIM:2 * EMBD_DIM])
@@ -322,6 +327,24 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
         caches.out, tgt, (0, step, 0))
     return tgt[:, 0, :], DecodeCaches(self_k, self_v, caches.mem_k,
                                       caches.mem_v, out)
+
+
+def fuse_qkv_params(params: Dict) -> Dict:
+    """Precompute fused decoder-self-attention QKV weights (one matmul per
+    step instead of three inside the while_loop)."""
+    out = dict(params)
+    for l in range(N_DECODERS):
+        pre = f'decoders.{l}.self_attn'
+        if f'{pre}.q_proj.weight' in params:
+            out[f'{pre}.qkv_weight'] = jnp.concatenate(
+                [params[f'{pre}.q_proj.weight'],
+                 params[f'{pre}.k_proj.weight'],
+                 params[f'{pre}.v_proj.weight']], axis=1)
+            out[f'{pre}.qkv_bias'] = jnp.concatenate(
+                [params[f'{pre}.q_proj.bias'],
+                 params[f'{pre}.k_proj.bias'],
+                 params[f'{pre}.v_proj.bias']])
+    return out
 
 
 def char_logprobs(params: Dict, decoded: jax.Array) -> jax.Array:

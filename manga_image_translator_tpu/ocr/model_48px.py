@@ -82,11 +82,11 @@ class Model48pxOCR(OfflineOCR):
                                 'placeholder dictionary')
             self.dictionary = _placeholder_dictionary()
         dict_size = len(self.dictionary)
-        self.params = self.load_params_converted(
+        self.params = ocr48.fuse_qkv_params(self.load_params_converted(
             'model',
             lambda sd: convert_state_dict(
                 sd, embedding_patterns=ocr48.EMBEDDING_PATTERNS),
-            init_fn=lambda: ocr48.init_params(dict_size))
+            init_fn=lambda: ocr48.init_params(dict_size)))
 
     async def _unload(self):
         self.params = None
