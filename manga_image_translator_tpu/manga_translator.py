@@ -676,13 +676,21 @@ class MangaTranslator:
         contexts: List[Context] = []
         configs: List[Config] = []
 
+        # Phase 0 (TPU page-parallel path, no reference equivalent): when a
+        # run of pages shares the same plain detector config, detect them in
+        # ONE batched device forward — measured 2x per-page at 1536px.
+        predetected = await self._batch_predetect(images_with_configs,
+                                                  batch_size)
+
         # Phase 1: detection/OCR/merge for all pages, with an OOM-style
         # degradation ladder (reference :1527-1624: gc + retry, then
         # per-page degradation with smaller sizes)
-        for image, config in images_with_configs:
+        for page_idx, (image, config) in enumerate(images_with_configs):
             ctx = Context()
             ctx.input = image
             ctx.result = None
+            if predetected.get(page_idx) is not None:
+                ctx.predetected = predetected[page_idx]
             try:
                 ctx = await self._translate_until_translation(config, ctx)
             except Exception as first_err:
@@ -725,6 +733,66 @@ class MangaTranslator:
                 ctx.result = ctx.get('upscaled', ctx.input)
         return contexts
 
+    async def _batch_predetect(self, images_with_configs, batch_size: int):
+        """Batched detection pre-pass. Returns {page_idx: (lines, raw, mask)}
+        for pages that were detected in a shared device forward; pages whose
+        config needs per-page handling are left out and fall back to the
+        single-page path."""
+        from . import detection
+        from .detection.common import MINIMUM_IMAGE_SIZE
+
+        def eligible(image, config: Config) -> bool:
+            d = config.detector
+            if (config.colorizer.colorizer != Colorizer.none
+                    or config.upscale.upscale_ratio
+                    or d.det_invert or d.det_gamma_correct
+                    or d.det_rotate or d.det_auto_rotate):
+                return False
+            arr = np.array(image.convert('RGB')) \
+                if not isinstance(image, np.ndarray) else image
+            if min(arr.shape[:2]) < MINIMUM_IMAGE_SIZE:
+                return False
+            return True
+
+        # group eligible page indices by (detector, detection_size, thresholds)
+        groups: dict = {}
+        for i, (image, config) in enumerate(images_with_configs):
+            if not eligible(image, config):
+                continue
+            d = config.detector
+            key = (d.detector, d.detection_size, d.text_threshold,
+                   d.box_threshold, d.unclip_ratio)
+            groups.setdefault(key, []).append(i)
+
+        out: dict = {}
+        for key, indices in groups.items():
+            if len(indices) < 2:
+                continue
+            detector = detection.get_detector(key[0])
+            if not hasattr(detector, 'infer_batch'):
+                continue
+            self._mark_used('detection', key[0])
+            for start in range(0, len(indices), batch_size):
+                chunk = indices[start:start + batch_size]
+                imgs = []
+                for i in chunk:
+                    image = images_with_configs[i][0]
+                    rgb, _ = load_image(image)
+                    imgs.append(rgb)
+                try:
+                    results = await detector.infer_batch(
+                        imgs, key[1], key[2], key[3], key[4],
+                        verbose=self.verbose)
+                except Exception:
+                    logger.warning('batched detection failed; falling back '
+                                   f'to per-page:\n{traceback.format_exc()}')
+                    continue
+                for i, res in zip(chunk, results):
+                    lines, raw_mask, mask = res
+                    out[i] = ([q for q in lines if q.area > 1],
+                              raw_mask, mask)
+        return out
+
     async def _translate_until_translation(self, config: Config,
                                            ctx: Context) -> Context:
         if config.colorizer.colorizer != Colorizer.none:
@@ -736,8 +804,12 @@ class MangaTranslator:
         else:
             ctx.upscaled = ctx.img_colorized
         ctx.img_rgb, ctx.img_alpha = load_image(ctx.upscaled)
-        ctx.textlines, ctx.mask_raw, ctx.mask = await self._run_detection(
-            config, ctx)
+        if ctx.get('predetected') is not None:
+            ctx.textlines, ctx.mask_raw, ctx.mask = ctx.predetected
+            ctx.predetected = None
+        else:
+            ctx.textlines, ctx.mask_raw, ctx.mask = await self._run_detection(
+                config, ctx)
         if not ctx.textlines:
             ctx.text_regions = []
             return ctx

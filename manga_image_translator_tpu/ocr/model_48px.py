@@ -26,6 +26,10 @@ from .common import AvgMeter, OfflineOCR, chunks
 
 TEXT_HEIGHT = 48
 MAX_CHUNK = 16
+# 32-crop chunks measured 21%/crop cheaper on TPU (sequential decode
+# amortizes); used only for text-heavy pages so light pages keep the
+# lower-latency 16-crop graph.
+BIG_CHUNK = 32
 # width buckets bound the number of compiled beam-search graphs
 WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
 # Reference decodes up to 255 tokens (model_48px.py:120); overridable so
@@ -110,17 +114,18 @@ class Model48pxOCR(OfflineOCR):
             is_quadrilaterals = True
 
         ix = 0
-        for indices in chunks(list(perm), MAX_CHUNK):
+        chunk_size = BIG_CHUNK if len(perm) > MAX_CHUNK else MAX_CHUNK
+        for indices in chunks(list(perm), chunk_size):
             widths = [region_imgs[i].shape[1] for i in indices]
             bw = bucket_width(max(widths))
-            batch = np.zeros((MAX_CHUNK, TEXT_HEIGHT, bw, 3), dtype=np.uint8)
+            batch = np.zeros((chunk_size, TEXT_HEIGHT, bw, 3), dtype=np.uint8)
             for i, idx in enumerate(indices):
                 w = min(region_imgs[idx].shape[1], bw)
                 batch[i, :, :w, :] = region_imgs[idx][:, :w]
                 if verbose:
                     self._dump_crop(batch[i], quadrilaterals[idx][1], ix)
                 ix += 1
-            valid_widths = np.zeros((MAX_CHUNK,), np.int32)
+            valid_widths = np.zeros((chunk_size,), np.int32)
             valid_widths[:len(indices)] = [min(w, bw) for w in widths]
 
             images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0

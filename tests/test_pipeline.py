@@ -79,6 +79,39 @@ class TestPipeline:
         for ctx in contexts:
             assert ctx.result is not None
 
+    def test_batch_predetect_groups_eligible_pages(self):
+        # pages >= MINIMUM_IMAGE_SIZE on both sides take the batched
+        # single-forward detection path
+        translator = MangaTranslator({'use_gpu': False})
+        img = np.full((448, 416, 3), 255, np.uint8)
+        cv2.putText(img, 'HELLO', (40, 100), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+                    (0, 0, 0), 3)
+        page = Image.fromarray(img)
+        pages = [(page, base_config()) for _ in range(3)]
+        pre = asyncio.run(translator._batch_predetect(pages, batch_size=4))
+        assert set(pre.keys()) == {0, 1, 2}
+        for lines, raw_mask, _ in pre.values():
+            # raw mask comes back at detect resolution, matching the
+            # single-page path (ratio 256/448 -> 256x238)
+            assert raw_mask.shape == (256, 238)
+            assert isinstance(lines, list)
+        contexts = asyncio.run(translator.translate_batch(pages))
+        assert len(contexts) == 3
+        for ctx in contexts:
+            assert ctx.result is not None
+
+    def test_batch_predetect_skips_small_and_filtered_pages(self):
+        translator = MangaTranslator({'use_gpu': False})
+        small = Image.fromarray(np.full((300, 300, 3), 255, np.uint8))
+        big = Image.fromarray(np.full((448, 448, 3), 255, np.uint8))
+        inverted_cfg = base_config()
+        inverted_cfg.detector.det_invert = True
+        pages = [(small, base_config()), (big, inverted_cfg),
+                 (big, base_config()), (big, base_config())]
+        pre = asyncio.run(translator._batch_predetect(pages, batch_size=4))
+        # only the two plain big pages batch together
+        assert set(pre.keys()) == {2, 3}
+
 
 class TestHelpers:
     def test_fix_brackets_removes_unpaired(self):
