@@ -18,6 +18,14 @@ Device work is forced with scalar reductions — stage outputs stay in HBM in
 the real pipeline, and this environment tunnels host transfers over the
 network, which would swamp the measurement with an artifact.
 
+Measured on this environment's axon tunnel: each jitted CALL costs ~35-60 ms
+of network round-trip regardless of compute (a trivial program times at
+~35 ms), while iterations INSIDE a device loop are free of that overhead.
+Every stage is therefore looped REPS times inside one jitted program with a
+serializing data dependency, and the per-call floor (measured with a tiny
+program) is subtracted before dividing — otherwise the bench reports tunnel
+latency, not TPU time.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the 20 pages/sec/chip target from
 BASELINE.md (the reference publishes no numbers of its own).
@@ -44,7 +52,30 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 PAGE = 1536
 N_WARMUP = 2
 N_ITERS = 5
+REPS = 8  # on-device repetitions per jitted call (amortizes tunnel latency)
 BASELINE_TARGET = 20.0  # pages/sec/chip north star
+
+_CALL_FLOOR = None
+
+
+def _call_floor() -> float:
+    """Per-call overhead of this environment (tunnel round trip): time of a
+    jitted program that does almost nothing."""
+    global _CALL_FLOOR
+    if _CALL_FLOOR is None:
+        x = jnp.zeros((8, 128), jnp.float32)
+
+        @jax.jit
+        def tiny(x):
+            return x.sum()
+
+        for _ in range(3):
+            float(tiny(x))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(tiny(x))
+        _CALL_FLOOR = (time.perf_counter() - t0) / 10
+    return _CALL_FLOOR
 
 
 def _timed_scalar(fn, *args, n=N_ITERS):
@@ -54,6 +85,25 @@ def _timed_scalar(fn, *args, n=N_ITERS):
     for _ in range(n):
         s = float(fn(*args))
     return (time.perf_counter() - t0) / n
+
+
+def _timed_onchip(stage_fn, *args, n=N_ITERS):
+    """Time ``stage_fn(*args) -> f32 scalar`` per execution, with the
+    per-call tunnel overhead amortized over REPS serialized on-device
+    repetitions. The loop carry feeds a data-dependent zero back into the
+    inputs so XLA cannot hoist the stage out of the loop (float x*0 is not
+    algebraically simplified)."""
+
+    @jax.jit
+    def looped(*a):
+        def body(i, s):
+            bumped = jax.tree.map(
+                lambda x: x + (s * 0).astype(x.dtype), a)
+            return s + stage_fn(*bumped)
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    t_call = _timed_scalar(looped, *args, n=n)
+    return max(t_call - _call_floor(), 0.0) / REPS
 
 
 def _bf16(params):
@@ -72,7 +122,6 @@ def bench_detection():
     pages = jnp.asarray(
         rs.randint(0, 255, (n_batch, PAGE, PAGE, 3), dtype=np.uint8))
 
-    @jax.jit
     def run(pages):
         smoothed = jax.vmap(
             lambda p: bilateral_filter(p, 17, 80.0, 80.0))(pages)
@@ -81,7 +130,7 @@ def bench_detection():
         prob = jax.nn.sigmoid(db[..., 0].astype(jnp.float32))
         return prob.sum() + mask.astype(jnp.float32).sum()
 
-    t_dev = _timed_scalar(run, pages) / n_batch
+    t_dev = _timed_onchip(run, pages) / n_batch
 
     # host postprocess on a realistic synthetic prob map (~25 textlines)
     prob_np = np.zeros((PAGE, PAGE), np.float32)
@@ -112,14 +161,13 @@ def bench_ocr():
     widths = jnp.asarray(widths)
     max_len = int(os.environ['MIT_TPU_OCR_MAX_LEN'])
 
-    @jax.jit
     def run(crops, widths):
         ret = ocr48.beam_decode(params, crops, widths, beams_k=5,
                                 max_len=max_len)
         return (ret['probs'].sum()
                 + ret['sequences'].astype(jnp.float32).sum())
 
-    return _timed_scalar(run, crops, widths)
+    return _timed_onchip(run, crops, widths)
 
 
 def bench_inpainting():
@@ -130,7 +178,6 @@ def bench_inpainting():
     img = jnp.asarray(rs.rand(1, PAGE, PAGE, 3).astype(np.float32))
     mask = jnp.asarray((rs.rand(1, PAGE, PAGE, 1) < 0.1).astype(np.float32))
 
-    @jax.jit
     def run(img, mask):
         x = img.astype(jnp.bfloat16) * (1 - mask.astype(jnp.bfloat16))
         out = lama.lama_generator_forward(params, x,
@@ -139,7 +186,7 @@ def bench_inpainting():
         comp = out.astype(jnp.float32) * mask + img * (1 - mask)
         return comp.sum()
 
-    return _timed_scalar(run, img, mask)
+    return _timed_onchip(run, img, mask)
 
 
 def main():

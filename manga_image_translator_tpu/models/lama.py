@@ -53,9 +53,9 @@ def _dft_mats(h: int, w: int):
         fold[-1] = 1.0
     inv_cos_w = (cos_w * fold[None, :]).T.astype(np.float32)  # (K, W)
     inv_sin_w = (sin_w * fold[None, :]).T.astype(np.float32)
-    return (jnp.asarray(cos_w), jnp.asarray(sin_w), jnp.asarray(cos_h),
-            jnp.asarray(sin_h), jnp.asarray(inv_cos_w),
-            jnp.asarray(inv_sin_w), norm)
+    # return numpy (NOT jnp): jnp constants created inside one jit trace must
+    # not be cached and reused inside another (tracer leak)
+    return cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm
 
 
 # HIGH = 3-pass bf16 (~2^-21 relative error on the MXU) — indistinguishable
