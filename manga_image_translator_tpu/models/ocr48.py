@@ -89,10 +89,48 @@ def apply_xpos(x: jax.Array, rot_positions: jax.Array,
     scale = jnp.power(s[None, :], exp[:, None])               # (L, hd/2)
     sin = jnp.repeat(sin * scale, 2, axis=-1).astype(x.dtype)
     cos = jnp.repeat(cos * scale, 2, axis=-1).astype(x.dtype)
+    return _rotate_mix(x, sin, cos)
+
+
+def _rotate_mix(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     rotated = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos + rotated * sin
+
+
+def xpos_step_tables(max_len: int) -> dict:
+    """Per-step XPOS sin/cos tables for the three decode-loop variants
+    (self q, self k, cross q), precomputed in numpy so the while_loop body
+    reduces each apply_xpos to one row gather + the rotate mix.
+
+    Row t holds exactly what apply_xpos would compute for step t:
+      self q:  positions=t, exponents=+t   (upscale)
+      self k:  positions=t, exponents=-t   (downscale)
+      cross q: positions=t, exponents=+((t+1)//2 - 1)
+    """
+    sin_np, cos_np = _xpos_sincos(_XPOS_MAX_POS)
+    steps = np.arange(max_len)
+    sin = sin_np[steps]                                        # (S, hd/2)
+    cos = cos_np[steps]
+    s = _xpos_scale_vec()[None, :]                             # (1, hd/2)
+
+    def table(exponents, negate):
+        e = exponents.astype(np.float32) / XPOS_SCALE_BASE
+        if negate:
+            e = -e
+        scale = np.power(s, e[:, None])                        # (S, hd/2)
+        return (np.repeat(sin * scale, 2, axis=-1),
+                np.repeat(cos * scale, 2, axis=-1))
+
+    sq_sin, sq_cos = table(steps, False)
+    sk_sin, sk_cos = table(steps, True)
+    cq_sin, cq_cos = table((steps + 1) // 2 - 1, False)
+    return {
+        'self_q': (jnp.asarray(sq_sin), jnp.asarray(sq_cos)),
+        'self_k': (jnp.asarray(sk_sin), jnp.asarray(sk_cos)),
+        'cross_q': (jnp.asarray(cq_sin), jnp.asarray(cq_cos)),
+    }
 
 
 # --------------------------------------------------------------------------
@@ -251,11 +289,13 @@ def init_caches(params: Dict, memory: jax.Array, n: int, max_len: int
 
 
 def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
-                step: jax.Array, memory_mask: jax.Array
+                step: jax.Array, memory_mask: jax.Array,
+                xpos_tables: Optional[dict] = None
                 ) -> Tuple[jax.Array, DecodeCaches]:
     """One decoder step for (N,) tokens at position ``step``.
 
-    Returns (N, E) outputs and updated caches.
+    Returns (N, E) outputs and updated caches. ``xpos_tables`` (from
+    xpos_step_tables) turns each in-loop apply_xpos into a row gather.
     """
     p = P(params)
     embd = P(params)['embd.weight']
@@ -273,6 +313,22 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
     # positions mask for self-attention: attend to 0..step
     pos_idx = jnp.arange(max_len)
     self_mask = pos_idx[None, :] > step  # (1, S) True = masked
+
+    if xpos_tables is not None:
+        def mk(name):
+            sin_t, cos_t = xpos_tables[name]
+            sin = sin_t[step].astype(caches.mem_k.dtype)
+            cos = cos_t[step].astype(caches.mem_k.dtype)
+            return lambda x: _rotate_mix(x, sin, cos)
+        xpos_self_q, xpos_self_k, xpos_cross_q = (
+            mk('self_q'), mk('self_k'), mk('cross_q'))
+    else:
+        xpos_self_q = lambda x: apply_xpos(x, step_positions, step_exp,
+                                           downscale=False)
+        xpos_self_k = lambda x: apply_xpos(x, step_positions, step_exp,
+                                           downscale=True)
+        xpos_cross_q = lambda x: apply_xpos(x, step_positions, cross_exp,
+                                            downscale=False)
 
     self_k, self_v = caches.self_k, caches.self_v
     for l in range(N_DECODERS):
@@ -294,8 +350,8 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
         q = _split_heads(qkv[..., :EMBD_DIM] * (HEAD_DIM ** -0.5))
         k_new = _split_heads(qkv[..., EMBD_DIM:2 * EMBD_DIM])
         v_new = _split_heads(qkv[..., 2 * EMBD_DIM:])
-        q = apply_xpos(q, step_positions, step_exp, downscale=False)
-        k_new = apply_xpos(k_new, step_positions, step_exp, downscale=True)
+        q = xpos_self_q(q)
+        k_new = xpos_self_k(k_new)
         self_k = jax.lax.dynamic_update_slice(
             self_k, k_new[None], (l, 0, 0, step, 0))
         self_v = jax.lax.dynamic_update_slice(
@@ -312,7 +368,7 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
         cp = lp.scope('multihead_attn')
         xq_in = lp.ln('norm2', tgt)
         q2 = _split_heads(cp.dense('q_proj', xq_in) * (HEAD_DIM ** -0.5))
-        q2 = apply_xpos(q2, step_positions, cross_exp, downscale=False)
+        q2 = xpos_cross_q(q2)
         scores2 = jnp.einsum('nhqd,nhkd->nhqk', q2, caches.mem_k[l],
                              preferred_element_type=jnp.float32)
         scores2 = jnp.where(memory_mask[:, None, None, :], -jnp.inf, scores2)
@@ -493,10 +549,11 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
                    >= jnp.minimum(valid_feats, mem_len)[:, None])
     memory = encoder_forward(params, memory, memory_mask)
 
+    xpos_tables = xpos_step_tables(max_len)
     harness = BeamHarness(
         init_caches=lambda mem_b, nk: init_caches(params, mem_b, nk, max_len),
         decode_step=lambda caches, tok, step, mask_b: decode_step(
-            params, caches, tok, step, mask_b),
+            params, caches, tok, step, mask_b, xpos_tables),
         char_logprobs=lambda dec: char_logprobs(params, dec),
         cache_gather=lambda caches, idx: DecodeCaches(
             self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
