@@ -47,23 +47,34 @@ def _kernel(sw_ref, img_hbm, out_ref, scratch, sem,
     center = scratch[:, radius:radius + tile_h, radius:radius + width]
     center = center.astype(jnp.float32)
 
-    acc = jnp.zeros((3, tile_h, width), jnp.float32)
-    norm = jnp.zeros((tile_h, width), jnp.float32)
-    # Mosaic needs statically-provable offsets for strided vector loads, so
-    # both window dimensions are unrolled at compile time; weights outside
-    # the circular window are zero, letting us skip those slices entirely.
-    for dy_i in range(2 * radius + 1):
-        for dx_i in range(2 * radius + 1):
-            dy = dy_i - radius
-            dx = dx_i - radius
-            if dy * dy + dx * dx > radius * radius:
-                continue  # outside the cv2 circular window
-            sh = scratch[:, dy_i:dy_i + tile_h,
-                         dx_i:dx_i + width].astype(jnp.float32)
-            cdiff = jnp.sum(jnp.abs(sh - center), axis=0)
-            w = sw_ref[dy_i, dx_i] * jnp.exp(gauss_color * cdiff * cdiff)
-            acc = acc + w[None] * sh
-            norm = norm + w
+    side = 2 * radius + 1
+    halo_h = tile_h + 2 * radius
+    halo_w = scratch.shape[2]  # lane-padded to a multiple of 128
+
+    # one fori_loop over all window offsets; the shifted window is realized
+    # with pltpu.roll (dynamic circular shift) + a zero-offset slice.
+    # Mosaic rejects dynamic strided loads AND non-8-aligned sublane slices
+    # of register values (both crash the compiler), but dynamic rotates are
+    # fine, and this keeps the program ~300x smaller than a static tap
+    # unroll (which took >25 min through the remote-compile tunnel).
+    def tap(t, carry):
+        acc, norm = carry
+        dy_i = t // side
+        dx_i = t % side
+        planes = []
+        for c in range(3):
+            p = pltpu.roll(scratch[c], (halo_h - dy_i) % halo_h, 0)
+            p = pltpu.roll(p, (halo_w - dx_i) % halo_w, 1)
+            planes.append(p[:tile_h, :width].astype(jnp.float32))
+        sh = jnp.stack(planes, axis=0)
+        cdiff = jnp.sum(jnp.abs(sh - center), axis=0)
+        w = sw_ref[dy_i, dx_i] * jnp.exp(gauss_color * cdiff * cdiff)
+        return acc + w[None] * sh, norm + w
+
+    acc, norm = jax.lax.fori_loop(
+        0, side * side, tap,
+        (jnp.zeros((3, tile_h, width), jnp.float32),
+         jnp.zeros((tile_h, width), jnp.float32)))
     out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
 
 
@@ -78,10 +89,13 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
     h, w = img.shape[:2]
     tiles = -(-h // TILE_H)
     pad_h = tiles * TILE_H - h
+    # dynamic lane rotation needs the lane dim to be a multiple of 128;
+    # the extra columns carry edge padding and are never read back
+    halo_w = -(-(w + 2 * radius) // 128) * 128
 
     x = img.astype(jnp.float32).transpose(2, 0, 1)  # (3, H, W)
-    x = jnp.pad(x, ((0, 0), (radius, radius + pad_h), (radius, radius)),
-                mode='edge')
+    x = jnp.pad(x, ((0, 0), (radius, radius + pad_h),
+                    (radius, halo_w - w - radius)), mode='edge')
 
     space_w = _space_weight_table(radius, sigma_space)
     gauss_color = -1.0 / (2.0 * sigma_color ** 2)
@@ -97,8 +111,7 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
         out_specs=pl.BlockSpec((3, TILE_H, w), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, TILE_H + 2 * radius, w + 2 * radius),
-                       jnp.float32),
+            pltpu.VMEM((3, TILE_H + 2 * radius, halo_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
