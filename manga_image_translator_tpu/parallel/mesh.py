@@ -26,15 +26,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int = None, tp: int = None) -> Mesh:
-    """Mesh with ('dp', 'tp') axes. tp defaults to 2 when divisible."""
+    """Mesh with ('dp', 'tp') axes covering exactly ``n_devices`` devices.
+
+    tp defaults to 2 when divisible. Raises if fewer than ``n_devices``
+    devices exist or the axes don't tile them — a silently-truncated mesh
+    would "pass" multi-chip checks while exercising a single device.
+    """
     devices = np.array(jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    n = len(devices)
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f'requested a {n_devices}-device mesh but jax sees only '
+            f'{len(devices)} ({devices[0].platform}); for a virtual mesh '
+            f'set XLA_FLAGS=--xla_force_host_platform_device_count='
+            f'{n_devices} and call '
+            f"jax.config.update('jax_platforms', 'cpu') before the backend "
+            f'initializes (the env var alone may be overridden by '
+            f'sitecustomize)')
+    devices = devices[:n_devices]
     if tp is None:
-        tp = 2 if n % 2 == 0 and n > 1 else 1
-    dp = n // tp
-    return Mesh(devices[:dp * tp].reshape(dp, tp), ('dp', 'tp'))
+        tp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    if n_devices % tp != 0:
+        raise ValueError(f'{n_devices} devices not divisible by tp={tp}')
+    dp = n_devices // tp
+    return Mesh(devices.reshape(dp, tp), ('dp', 'tp'))
 
 
 def shard_ocr_params_tp(params: Dict, mesh: Mesh) -> Dict:
