@@ -17,17 +17,24 @@ import jax.numpy as jnp
 
 from .functional import P, interpolate_bilinear, max_pool2d, relu
 
-# torchvision vgg16_bn conv/bn indices per slice
+# torchvision vgg16_bn conv/bn indices per slice.
+#
+# The reference slices end at a BatchNorm (vgg16_bn.py:30-38), but the NEXT
+# slice begins with nn.ReLU(inplace=True) which mutates the captured tap
+# tensor in place before CRAFT's U-net concatenates it — so the effective
+# taps relu2_2/relu3_2/relu4_3 are POST-relu (verified vs the torch oracle
+# in tests/test_model_oracle.py). We therefore end each slice with that
+# relu. relu5_3 stays pre-relu: slice5 begins with a maxpool, not a relu.
 _SLICE_LAYERS = {
     'slice1': [('conv', 0), ('bn', 1), ('relu',), ('conv', 3), ('bn', 4),
                ('relu',), ('pool', 2, 2, 0), ('conv', 7), ('bn', 8),
-               ('relu',), ('conv', 10), ('bn', 11)],
-    'slice2': [('relu',), ('pool', 2, 2, 0), ('conv', 14), ('bn', 15),
-               ('relu',), ('conv', 17), ('bn', 18)],
-    'slice3': [('relu',), ('conv', 20), ('bn', 21), ('relu',),
+               ('relu',), ('conv', 10), ('bn', 11), ('relu',)],
+    'slice2': [('pool', 2, 2, 0), ('conv', 14), ('bn', 15),
+               ('relu',), ('conv', 17), ('bn', 18), ('relu',)],
+    'slice3': [('conv', 20), ('bn', 21), ('relu',),
                ('pool', 2, 2, 0), ('conv', 24), ('bn', 25), ('relu',),
-               ('conv', 27), ('bn', 28)],
-    'slice4': [('relu',), ('conv', 30), ('bn', 31), ('relu',),
+               ('conv', 27), ('bn', 28), ('relu',)],
+    'slice4': [('conv', 30), ('bn', 31), ('relu',),
                ('pool', 2, 2, 0), ('conv', 34), ('bn', 35), ('relu',),
                ('conv', 37), ('bn', 38)],
 }

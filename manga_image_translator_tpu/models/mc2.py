@@ -28,23 +28,28 @@ def _lrelu(x):
 # --------------------------------------------------------------------------
 
 def _space_to_depth2(x: jax.Array) -> jax.Array:
-    """(N, H, W, C) → (N, H/2, W/2, 4C) matching FFDNet's idxL ordering
-    [[0,0],[0,1],[1,0],[1,1]] with torch channel grouping (per-offset blocks
-    of C channels)."""
-    parts = [x[:, 0::2, 0::2, :], x[:, 0::2, 1::2, :],
-             x[:, 1::2, 0::2, :], x[:, 1::2, 1::2, :]]
-    return jnp.concatenate(parts, axis=-1)
+    """(N, H, W, C) → (N, H/2, W/2, 4C) matching FFDNet's
+    concatenate_input_noise_map (ref denoising/functions.py:16-55): phase
+    idx of input channel k lands at output channel 4k+idx (phases
+    INTERLEAVED per channel, idxL order [[0,0],[0,1],[1,0],[1,1]])."""
+    n, h, w, c = x.shape
+    stacked = jnp.stack([x[:, 0::2, 0::2, :], x[:, 0::2, 1::2, :],
+                         x[:, 1::2, 0::2, :], x[:, 1::2, 1::2, :]],
+                        axis=-1)                       # (N, h/2, w/2, C, 4)
+    return stacked.reshape(n, h // 2, w // 2, c * 4)
 
 
 def _depth_to_space2(x: jax.Array) -> jax.Array:
-    """Inverse of _space_to_depth2 (FFDNet upsamplefeatures)."""
+    """Inverse (FFDNet upsamplefeatures, ref denoising/functions.py:64-80):
+    input channel 4k+idx goes to output channel k at phase idx."""
     n, h, w, c4 = x.shape
     c = c4 // 4
+    g = x.reshape(n, h, w, c, 4)
     out = jnp.zeros((n, h * 2, w * 2, c), x.dtype)
-    out = out.at[:, 0::2, 0::2, :].set(x[..., 0 * c:1 * c])
-    out = out.at[:, 0::2, 1::2, :].set(x[..., 1 * c:2 * c])
-    out = out.at[:, 1::2, 0::2, :].set(x[..., 2 * c:3 * c])
-    out = out.at[:, 1::2, 1::2, :].set(x[..., 3 * c:4 * c])
+    out = out.at[:, 0::2, 0::2, :].set(g[..., 0])
+    out = out.at[:, 0::2, 1::2, :].set(g[..., 1])
+    out = out.at[:, 1::2, 0::2, :].set(g[..., 2])
+    out = out.at[:, 1::2, 1::2, :].set(g[..., 3])
     return out
 
 
@@ -56,7 +61,8 @@ def ffdnet_rgb_forward(params: Dict, x: jax.Array,
     n, h, w, _ = down.shape
     noise_map = jnp.broadcast_to(noise_sigma.reshape(-1, 1, 1, 1),
                                  (n, h, w, 3)).astype(x.dtype)
-    feat = jnp.concatenate([down, noise_map], axis=-1)  # 15 channels
+    # noise map comes FIRST (ref functions.py:54 cat((noise_map, down)))
+    feat = jnp.concatenate([noise_map, down], axis=-1)  # 15 channels
     # layers: conv,relu, (conv,bn,relu)*10, conv — sequential indices
     feat = relu(p.conv('0', feat, padding=1))
     idx = 2
