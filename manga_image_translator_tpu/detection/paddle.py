@@ -49,6 +49,13 @@ class PaddleDetector(OfflineDetector):
                 return
             except Exception as e:
                 self.logger.warning(f'ONNX conversion failed: {e}')
+        from ..utils.inference import MissingWeightsError, \
+            random_weights_allowed
+        if not random_weights_allowed(self):
+            raise MissingWeightsError(
+                'PaddleDetector: ONNX weights unavailable or unconvertible. '
+                'Refusing to detect with random weights; set '
+                'MIT_TPU_ALLOW_RANDOM_WEIGHTS=1 to opt in for tests.')
         self.logger.warning('paddle detector weights unavailable — '
                             'using random init')
         self.using_random_weights = True

@@ -177,7 +177,14 @@ class Model48pxOCR(OfflineOCR):
         img = cv2.cvtColor(crop, cv2.COLOR_RGB2BGR)
         if direction == 'v':
             img = cv2.rotate(img, cv2.ROTATE_90_CLOCKWISE)
-        cv2.imwrite(os.path.join(out_dir, f'{index}.png'), img)
+        # cap debug crops at 200px and compress hard (ref :100-112)
+        h, w = img.shape[:2]
+        if max(h, w) > 200:
+            scale = 200 / max(h, w)
+            img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                             interpolation=cv2.INTER_AREA)
+        cv2.imwrite(os.path.join(out_dir, f'{index}.png'), img,
+                    [cv2.IMWRITE_PNG_COMPRESSION, 9])
 
     def _decode_tokens(self, seq: np.ndarray, fg: np.ndarray, bg: np.ndarray,
                        fg_ind: np.ndarray, bg_ind: np.ndarray):

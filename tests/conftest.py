@@ -20,6 +20,11 @@ if '--xla_force_host_platform_device_count' not in flags:
 # wall time without adding coverage.
 os.environ.setdefault('MIT_TPU_OCR_MAX_LEN', '24')
 
+# Tests run offline: explicitly opt in to random-weight fallback (production
+# paths hard-fail on missing checkpoints — see utils/inference.py
+# MissingWeightsError; tests exercising that behavior unset this).
+os.environ.setdefault('MIT_TPU_ALLOW_RANDOM_WEIGHTS', '1')
+
 import jax  # noqa: E402
 
 # sitecustomize may import jax before this conftest runs, freezing
