@@ -62,9 +62,15 @@ class PaddleDetector(OfflineDetector):
         self.params = paddle_det.init_params()
 
     def _convert_from_onnx(self, path):
-        import onnx  # gated: not present in this image
-        raise NotImplementedError(
-            'ONNX weight mapping for the paddle detector is pending')
+        """Map the PaddleOCR det ONNX weights onto our JAX params via the
+        pure-Python protobuf reader + structural matcher (paddle_onnx.py).
+        Raises on any shape mismatch — never serves noise silently."""
+        import jax.numpy as jnp
+        from ..utils import onnx_lite
+        from .paddle_onnx import convert_graph
+        graph = onnx_lite.load(path)
+        np_params = convert_graph(graph)
+        return {k: jnp.asarray(v) for k, v in np_params.items()}
 
     async def _unload(self):
         self.params = None
