@@ -173,7 +173,8 @@ def bench_ocr():
 def bench_inpainting():
     from manga_image_translator_tpu.models import lama
 
-    params = lama.init_params(n_blocks=18, dtype=jnp.bfloat16)
+    params = lama.fold_bn(lama.init_params(n_blocks=18, dtype=jnp.bfloat16),
+                          n_blocks=18)
     rs = np.random.RandomState(2)
     img = jnp.asarray(rs.rand(1, PAGE, PAGE, 3).astype(np.float32))
     mask = jnp.asarray((rs.rand(1, PAGE, PAGE, 1) < 0.1).astype(np.float32))

@@ -54,13 +54,16 @@ class LamaLargeInpainter(OfflineInpainter):
 
     async def _load(self, device: str):
         n_blocks = self._N_BLOCKS
-        self.params = self.load_params_converted(
+        params = self.load_params_converted(
             'model',
             lambda sd: convert_state_dict(
                 _pick_gen(sd),
                 transposed_conv_patterns=
                 lama.TRANSPOSED_CONV_PATTERNS_FOR_BLOCKS[n_blocks]),
             init_fn=lambda: lama.init_params(n_blocks))
+        # fold BN into convs once at load (exact; removes ~150 elementwise
+        # ops from the 1536px forward)
+        self.params = lama.fold_bn(params, n_blocks)
 
     async def _unload(self):
         self.params = None

@@ -80,10 +80,12 @@ def _dft_mats_joint(h: int, w: int):
     cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats(h, w)
     k = w // 2 + 1
     fwd_w = np.concatenate([cos_w, -sin_w], axis=1)            # (W, 2K)
-    fwd_h = np.block([[cos_h, -sin_h],
-                      [sin_h, cos_h]]).astype(np.float32)      # (2H, 2H)
-    inv_h = np.block([[cos_h.T, sin_h.T],
-                      [-sin_h.T, cos_h.T]]).astype(np.float32)  # (2H, 2H)
+    # ortho norm folded into the H-stage matrices (saves one multiply per
+    # DFT stage inside every FourierUnit)
+    fwd_h = (np.block([[cos_h, -sin_h],
+                       [sin_h, cos_h]]) * norm).astype(np.float32)
+    inv_h = (np.block([[cos_h.T, sin_h.T],
+                       [-sin_h.T, cos_h.T]]) * norm).astype(np.float32)
     inv_w = np.concatenate([inv_cos_w, -inv_sin_w], axis=0)    # (2K, W)
     return fwd_w, fwd_h, inv_h, inv_w, k, norm
 
@@ -112,7 +114,7 @@ def _rfft2_matmul(x: jax.Array):
     f = _dft_einsum('nhwc,wk->nhkc', x, fwd_w)
     # H stage: stack re_w/im_w along H, mix with the (2H,2H) block matrix
     stacked = jnp.concatenate([f[:, :, :k], f[:, :, k:]], axis=1)
-    out = _dft_einsum('nhkc,hj->njkc', stacked, fwd_h) * norm
+    out = _dft_einsum('nhkc,hj->njkc', stacked, fwd_h)
     return out[:, :h], out[:, h:]
 
 
@@ -123,7 +125,7 @@ def _irfft2_matmul(re: jax.Array, im: jax.Array, h: int, w: int):
     g = _dft_einsum('njkc,jh->nhkc', stacked, inv_h)
     # W stage: [re_h | im_h] along K, contracted with (2K, W)
     joined = jnp.concatenate([g[:, :h], g[:, h:]], axis=2)     # (N, H, 2K, C)
-    return _dft_einsum('nhkc,kw->nhwc', joined, inv_w) * norm
+    return _dft_einsum('nhkc,kw->nhwc', joined, inv_w)
 
 
 def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
@@ -138,7 +140,8 @@ def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
     # interleave re/im per channel: (N, H, Wf, 2C) as [c0_re, c0_im, c1_re,…]
     stacked = jnp.stack([re, im], axis=-1).reshape(n, h, w // 2 + 1, 2 * c)
     y = p.conv('conv_layer', stacked.astype(x.dtype))
-    y = p.bn('bn', y)
+    if 'bn.running_mean' in p:          # folded params carry no BN keys
+        y = p.bn('bn', y)
     y = relu(y)
     y = y.astype(jnp.float32).reshape(n, h, w // 2 + 1, c, 2)
     out = _irfft2_matmul(y[..., 0], y[..., 1], h, w)
@@ -148,7 +151,8 @@ def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
 def _spectral_transform(p: P, x: jax.Array) -> jax.Array:
     """SpectralTransform with stride 1, no LFU."""
     x = p.conv('conv1.0', x)
-    x = p.bn('conv1.1', x)
+    if 'conv1.1.running_mean' in p:
+        x = p.bn('conv1.1', x)
     x = relu(x)
     out = _fourier_unit(p.scope('fu'), x)
     return p.conv('conv2', x + out)
@@ -180,9 +184,13 @@ def _ffc_bn_act(p: P, x_l: jax.Array, x_g: Optional[jax.Array],
     x_l, x_g = _ffc(p.scope('ffc'), x_l, x_g, ratio_gin, ratio_gout,
                     stride, padding)
     if x_l is not None:
-        x_l = relu(p.bn('bn_l', x_l))
+        if 'bn_l.running_mean' in p:
+            x_l = p.bn('bn_l', x_l)
+        x_l = relu(x_l)
     if x_g is not None:
-        x_g = relu(p.bn('bn_g', x_g))
+        if 'bn_g.running_mean' in p:
+            x_g = p.bn('bn_g', x_g)
+        x_g = relu(x_g)
     return x_l, x_g
 
 
@@ -193,6 +201,43 @@ def _resnet_block(p: P, x_l: jax.Array, x_g: jax.Array):
     x_l, x_g = _ffc_bn_act(p.scope('conv2'), x_l, x_g, RESNET_RATIO,
                            RESNET_RATIO, padding=1)
     return id_l + x_l, id_g + x_g
+
+
+# Off by default: the streaming-kernel stem wins in isolation (4.1 vs
+# 7.4 ms) but the packed final conv runs with tiny row tiles (VMEM budget)
+# whose grid-step overhead costs more than the XLA phase-packed version —
+# measured e2e 126.7 vs 111.2 ms/page. Opt-in until the kernel tiles
+# channels as well as rows.
+_PALLAS_SHELL = os.environ.get('MIT_TPU_LAMA_PALLAS', '0') == '1'
+
+
+def _pallas_shell_ok(params: Dict, h: int, w: int) -> bool:
+    """Route stem/final through the streaming Pallas kernel when the packed
+    weights exist (fold_bn adds them) and we're on real TPU hardware."""
+    if not _PALLAS_SHELL or 'pallas.stem.weight' not in params:
+        return False
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ('tpu', 'axon') and h >= 512 and w >= 512
+
+
+def _packed_conv(x: jax.Array, w: jax.Array, b: jax.Array, relu_: bool,
+                 out_h: int, out_w: int, co: int) -> jax.Array:
+    """s=4 phase-packed conv via the streaming kernel: x is the
+    reflect-padded input; returns (N, out_h, out_w, co)."""
+    from ..ops.pallas_conv import (conv2d_stream, depth_to_space,
+                                   space_to_depth)
+    n, hp, wp_, ci = x.shape
+    pad_h = (-hp) % 4
+    pad_w = (-wp_) % 4
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    xp = space_to_depth(x, 4)
+    out = conv2d_stream(xp, w, b, relu=relu_)
+    out = depth_to_space(out, 4)
+    return out[:, :out_h, :out_w, :co]
 
 
 def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
@@ -207,10 +252,17 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
     """
     p = P(params)
     x = jnp.concatenate([img, mask], axis=-1)
+    H, W = img.shape[1], img.shape[2]
+    pallas_shell = _pallas_shell_ok(params, H, W)
 
     # model.0 reflection pad + model.1 stem FFC (all-local)
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
-    x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0, padding=0)
+    if pallas_shell:
+        x_l = _packed_conv(x, params['pallas.stem.weight'],
+                           params['pallas.stem.bias'], True, H, W, NGF)
+        x_g = None
+    else:
+        x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0, padding=0)
 
     if rel_pos_emb is not None:
         x_l = x_l + rel_pos_emb.astype(x_l.dtype)
@@ -235,11 +287,16 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
         base = up0 + i * 3
         x = p.conv_t(f'model.{base}', x, stride=2, padding=1, kernel_size=3,
                      output_padding=1)
-        x = p.bn(f'model.{base + 1}', x)
+        if f'model.{base + 1}.running_mean' in p:
+            x = p.bn(f'model.{base + 1}', x)
         x = relu(x)
 
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
-    x = _final_conv(p, f'model.{up0 + 3 * N_DOWN + 1}', x)
+    if pallas_shell:
+        x = _packed_conv(x, params['pallas.final.weight'],
+                         params['pallas.final.bias'], False, H, W, 3)
+    else:
+        x = _final_conv(p, f'model.{up0 + 3 * N_DOWN + 1}', x)
     return sigmoid(x.astype(jnp.float32))
 
 
@@ -347,6 +404,88 @@ TRANSPOSED_CONV_PATTERNS_FOR_BLOCKS = {
     18: (r'model\.(24|27|30)\.weight',),
     9: (r'model\.(15|18|21)\.weight',),
 }
+
+
+def fold_bn(params: Dict, n_blocks: int) -> Dict:
+    """Fold every inference-mode BatchNorm into the conv preceding it.
+
+    Removes ~150 elementwise BN ops from the 1536px forward; the forward
+    detects folded params by the absence of ``*.running_mean`` keys. Where
+    a BN follows the SUM of two convs (the FFC out_l/out_g paths,
+    reference FFC.forward), the scale multiplies both conv weights and the
+    shift rides as the bias of exactly one of them.
+    """
+    import numpy as _np
+
+    out = {k: _np.asarray(v) for k, v in params.items()}
+
+    def sb(bn_key):
+        g = _np.asarray(params[f'{bn_key}.weight'], _np.float32)
+        b = _np.asarray(params[f'{bn_key}.bias'], _np.float32)
+        mu = _np.asarray(params[f'{bn_key}.running_mean'], _np.float32)
+        var = _np.asarray(params[f'{bn_key}.running_var'], _np.float32)
+        s = g / _np.sqrt(var + 1e-5)
+        for suffix in ('weight', 'bias', 'running_mean', 'running_var'):
+            out.pop(f'{bn_key}.{suffix}', None)
+        return s, b - mu * s
+
+    def scale_conv(conv_key, s, bias=None):
+        w = _np.asarray(params[f'{conv_key}.weight'], _np.float32)
+        dt = _np.asarray(params[f'{conv_key}.weight']).dtype
+        out[f'{conv_key}.weight'] = (w * s[None, None, None, :]).astype(dt)
+        if bias is not None:
+            old_b = _np.asarray(params.get(f'{conv_key}.bias', 0.0),
+                                _np.float32)
+            out[f'{conv_key}.bias'] = (old_b * s + bias).astype(_np.float32)
+
+    # stem + all-local downsamples
+    for m in ('model.1', 'model.2', 'model.3'):
+        s, t = sb(f'{m}.bn_l')
+        scale_conv(f'{m}.ffc.convl2l', s, t)
+    # split downsample
+    s, t = sb('model.4.bn_l')
+    scale_conv('model.4.ffc.convl2l', s, t)
+    s, t = sb('model.4.bn_g')
+    scale_conv('model.4.ffc.convl2g', s, t)
+
+    for b in range(n_blocks):
+        for cv in ('conv1', 'conv2'):
+            pre = f'model.{5 + b}.{cv}'
+            s, t = sb(f'{pre}.bn_l')
+            scale_conv(f'{pre}.ffc.convl2l', s, t)   # bias rides on l2l
+            scale_conv(f'{pre}.ffc.convg2l', s)
+            s, t = sb(f'{pre}.bn_g')
+            scale_conv(f'{pre}.ffc.convl2g', s, t)   # bias rides on l2g
+            st_key = f'{pre}.ffc.convg2g'
+            scale_conv(f'{st_key}.conv2', s)         # spectral out, no bias
+            s1, t1 = sb(f'{st_key}.conv1.1')
+            scale_conv(f'{st_key}.conv1.0', s1, t1)
+            s2, t2 = sb(f'{st_key}.fu.bn')
+            scale_conv(f'{st_key}.fu.conv_layer', s2, t2)
+
+    up0 = 5 + n_blocks + 1
+    for i in range(N_DOWN):
+        s, t = sb(f'model.{up0 + i * 3 + 1}')
+        scale_conv(f'model.{up0 + i * 3}', s, t)
+
+    # Pre-pack the stem and final conv for the streaming Pallas kernel
+    # (s=4 phase packing turns the MXU-hostile low-channel full-res convs
+    # into K>=64 stride-1 convs; measured stem 7.4 -> 4.1 ms on v5e).
+    from ..ops.pallas_conv import pack_phase_weight
+    stem_w = out['model.1.ffc.convl2l.weight']          # (7,7,4,64) folded
+    wp, _ = pack_phase_weight(_np.asarray(stem_w, _np.float32), 4)
+    out['pallas.stem.weight'] = wp.astype(_np.asarray(stem_w).dtype)
+    out['pallas.stem.bias'] = _np.tile(
+        _np.asarray(out['model.1.ffc.convl2l.bias'], _np.float32), 16)
+    fkey = f'model.{up0 + 3 * N_DOWN + 1}'
+    fin_w = out[f'{fkey}.weight']                       # (7,7,64,3)
+    wp, _ = pack_phase_weight(_np.asarray(fin_w, _np.float32), 4)
+    out['pallas.final.weight'] = wp.astype(_np.asarray(fin_w).dtype)
+    out['pallas.final.bias'] = _np.tile(
+        _np.asarray(out[f'{fkey}.bias'], _np.float32), 16)
+
+    import jax.numpy as _jnp
+    return {k: _jnp.asarray(v) for k, v in out.items()}
 
 
 def sinusoidal_embedding_table(num: int = 128, dim: int = 64) -> np.ndarray:

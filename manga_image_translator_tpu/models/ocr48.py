@@ -23,6 +23,7 @@ compacts live hypotheses on host):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -385,6 +386,191 @@ def decode_step(params: Dict, caches: DecodeCaches, token: jax.Array,
                                       caches.mem_v, out)
 
 
+# --------------------------------------------------------------------------
+# Stacked fused decode path (the production beam_decode step)
+#
+# The while_loop step is dispatch-bound (~115 small ops x ~5 us sequencer
+# overhead each on v5e), so the fused path cuts op count:
+#   * XPOS rotations move to the WEIGHT side: one set of elementwise ops
+#     rotates all 5 layers' stacked QKV / cross-Q projections per step,
+#     replacing per-layer activation rotates (rotation is linear:
+#     R(Wx + b) = (W R^T)x + R b, and R acts on the output dim);
+#   * the attention head-dim scale folds into the same rotation tables;
+#   * K and V live in ONE cache (L, N, S, 2E): one dynamic_update_slice and
+#     one beam gather per step instead of two;
+#   * tokens stay (N, E) 2D throughout (no length-1 axis reshuffling);
+#   * the char head exposes top-k + logsumexp instead of materializing the
+#     full (N, V) log_softmax.
+# --------------------------------------------------------------------------
+
+class StackedCaches(NamedTuple):
+    # K/V stay separate and HEAD-MAJOR (L, N, H, S, hd): a combined
+    # (L, N, S, 2E) cache was measured 5x slower per step — the k/v lane
+    # split at 320/640 is misaligned (2.5 x 128 lanes) and the S-major
+    # layout forces a (N,S,H,hd)->(N,H,S,hd) transpose in every layer.
+    self_k: jax.Array  # (L, N, H, S, hd)
+    self_v: jax.Array  # (L, N, H, S, hd)
+    mem_k: jax.Array   # (L, N, H, M, hd), xpos applied
+    mem_v: jax.Array   # (L, N, H, M, hd)
+    out: jax.Array     # (N, S, E) last-layer outputs (for color heads)
+
+
+def stack_decoder_params(params: Dict) -> Dict[str, jax.Array]:
+    """Stack the 5 decoder layers' weights along a leading axis so the
+    per-step rotation and the layer loop index into single arrays."""
+    p = P(params)
+
+    def st(fmt):
+        return jnp.stack([p[fmt.format(l=l)] for l in range(N_DECODERS)])
+
+    sp = {}
+    if 'decoders.0.self_attn.qkv_weight' in params:
+        sp['wqkv'] = st('decoders.{l}.self_attn.qkv_weight')
+        sp['bqkv'] = st('decoders.{l}.self_attn.qkv_bias')
+    else:
+        sp['wqkv'] = jnp.stack([jnp.concatenate(
+            [p[f'decoders.{l}.self_attn.{proj}.weight']
+             for proj in ('q_proj', 'k_proj', 'v_proj')], axis=1)
+            for l in range(N_DECODERS)])
+        sp['bqkv'] = jnp.stack([jnp.concatenate(
+            [p[f'decoders.{l}.self_attn.{proj}.bias']
+             for proj in ('q_proj', 'k_proj', 'v_proj')])
+            for l in range(N_DECODERS)])
+    sp['w_self_out'] = st('decoders.{l}.self_attn.out_proj.weight')
+    sp['b_self_out'] = st('decoders.{l}.self_attn.out_proj.bias')
+    sp['w_cross_q'] = st('decoders.{l}.multihead_attn.q_proj.weight')
+    sp['b_cross_q'] = st('decoders.{l}.multihead_attn.q_proj.bias')
+    sp['w_cross_out'] = st('decoders.{l}.multihead_attn.out_proj.weight')
+    sp['b_cross_out'] = st('decoders.{l}.multihead_attn.out_proj.bias')
+    for nrm in ('norm1', 'norm2', 'norm3'):
+        sp[f'{nrm}_w'] = st(f'decoders.{{l}}.{nrm}.weight')
+        sp[f'{nrm}_b'] = st(f'decoders.{{l}}.{nrm}.bias')
+    sp['ff1_w'] = st('decoders.{l}.linear1.weight')
+    sp['ff1_b'] = st('decoders.{l}.linear1.bias')
+    sp['ff2_w'] = st('decoders.{l}.linear2.weight')
+    sp['ff2_b'] = st('decoders.{l}.linear2.bias')
+    return sp
+
+
+def xpos_weight_tables(max_len: int) -> dict:
+    """Per-step (S, E) sin/cos rows for weight-side rotation: the per-head
+    (hd,) tables tiled across heads, with the attention scale folded into
+    the self/cross q variants."""
+    base = xpos_step_tables(max_len)
+    scale = HEAD_DIM ** -0.5
+
+    def tile(pair, factor=1.0):
+        sin, cos = pair
+        return (jnp.tile(sin, (1, N_HEADS)) * factor,
+                jnp.tile(cos, (1, N_HEADS)) * factor)
+
+    return {
+        'self_q': tile(base['self_q'], scale),
+        'self_k': tile(base['self_k']),
+        'cross_q': tile(base['cross_q'], scale),
+    }
+
+
+def init_stacked_caches(params: Dict, memory: jax.Array, n: int,
+                        max_len: int) -> StackedCaches:
+    base = init_caches(params, memory, n, max_len)
+    dtype = memory.dtype
+    shape = (N_DECODERS, n, N_HEADS, max_len, HEAD_DIM)
+    return StackedCaches(
+        self_k=jnp.zeros(shape, dtype), self_v=jnp.zeros(shape, dtype),
+        mem_k=base.mem_k, mem_v=base.mem_v,
+        out=jnp.zeros((n, max_len, EMBD_DIM), dtype))
+
+
+def decode_step_stacked(params: Dict, sp: Dict, caches: StackedCaches,
+                        token: jax.Array, step: jax.Array,
+                        memory_mask: jax.Array, wtab: dict
+                        ) -> Tuple[jax.Array, StackedCaches]:
+    """Fused decoder step over (N,) tokens; returns ((N, E), caches)."""
+    embd = params['embd.weight']
+    tgt = embd[token].astype(caches.mem_k.dtype)              # (N, E)
+    n = tgt.shape[0]
+    max_len = caches.self_k.shape[3]
+    dt = tgt.dtype
+
+    def row(name):
+        sin_t, cos_t = wtab[name]
+        return sin_t[step].astype(dt), cos_t[step].astype(dt)
+
+    sin_q, cos_q = row('self_q')
+    sin_k, cos_k = row('self_k')
+    sin_c, cos_c = row('cross_q')
+
+    # weight-side rotation for ALL layers at once
+    wqkv = sp['wqkv']
+    wq = _rotate_mix(wqkv[..., :EMBD_DIM], sin_q, cos_q)
+    wk = _rotate_mix(wqkv[..., EMBD_DIM:2 * EMBD_DIM], sin_k, cos_k)
+    wqkv_rot = jnp.concatenate([wq, wk, wqkv[..., 2 * EMBD_DIM:]], axis=-1)
+    bqkv = sp['bqkv']
+    bq = _rotate_mix(bqkv[..., :EMBD_DIM], sin_q, cos_q)
+    bk = _rotate_mix(bqkv[..., EMBD_DIM:2 * EMBD_DIM], sin_k, cos_k)
+    bqkv_rot = jnp.concatenate([bq, bk, bqkv[..., 2 * EMBD_DIM:]], axis=-1)
+    wcq_rot = _rotate_mix(sp['w_cross_q'], sin_c, cos_c)
+    bcq_rot = _rotate_mix(sp['b_cross_q'], sin_c, cos_c)
+
+    pos_idx = jnp.arange(max_len)
+    self_mask = pos_idx[None, None, :] > step                 # (1, 1, S)
+    self_k, self_v = caches.self_k, caches.self_v
+
+    for l in range(N_DECODERS):
+        xn = layer_norm(tgt, sp['norm1_w'][l], sp['norm1_b'][l])
+        qkv = linear(xn, wqkv_rot[l], bqkv_rot[l])            # (N, 3E)
+        q = qkv[:, :EMBD_DIM].reshape(n, N_HEADS, HEAD_DIM)
+        k_new = qkv[:, EMBD_DIM:2 * EMBD_DIM].reshape(n, N_HEADS, HEAD_DIM)
+        v_new = qkv[:, 2 * EMBD_DIM:].reshape(n, N_HEADS, HEAD_DIM)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_new[None, :, :, None, :], (l, 0, 0, step, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_new[None, :, :, None, :], (l, 0, 0, step, 0))
+        scores = jnp.einsum('nhd,nhsd->nhs', q, self_k[l],
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(self_mask, -jnp.inf, scores)
+        w = jax.nn.softmax(scores, axis=-1).astype(dt)
+        attn = jnp.einsum('nhs,nhsd->nhd', w, self_v[l],
+                          preferred_element_type=jnp.float32).astype(dt)
+        tgt = tgt + linear(attn.reshape(n, EMBD_DIM),
+                           sp['w_self_out'][l], sp['b_self_out'][l])
+
+        xn2 = layer_norm(tgt, sp['norm2_w'][l], sp['norm2_b'][l])
+        q2 = linear(xn2, wcq_rot[l], bcq_rot[l]).reshape(n, N_HEADS,
+                                                         HEAD_DIM)
+        scores2 = jnp.einsum('nhd,nhmd->nhm', q2, caches.mem_k[l],
+                             preferred_element_type=jnp.float32)
+        scores2 = jnp.where(memory_mask[:, None, :], -jnp.inf, scores2)
+        w2 = jax.nn.softmax(scores2, axis=-1).astype(dt)
+        attn2 = jnp.einsum('nhm,nhmd->nhd', w2, caches.mem_v[l],
+                           preferred_element_type=jnp.float32).astype(dt)
+        tgt = tgt + linear(attn2.reshape(n, EMBD_DIM),
+                           sp['w_cross_out'][l], sp['b_cross_out'][l])
+
+        xn3 = layer_norm(tgt, sp['norm3_w'][l], sp['norm3_b'][l])
+        tgt = tgt + linear(relu(linear(xn3, sp['ff1_w'][l], sp['ff1_b'][l])),
+                           sp['ff2_w'][l], sp['ff2_b'][l])
+
+    out = jax.lax.dynamic_update_slice(caches.out, tgt[:, None, :],
+                                       (0, step, 0))
+    return tgt, StackedCaches(self_k, self_v, caches.mem_k, caches.mem_v,
+                              out)
+
+
+def char_topk(params: Dict, decoded: jax.Array, k: int
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k log-probs without materializing the (N, V) log_softmax:
+    top-k on raw logits (same indices) + logsumexp correction."""
+    p = P(params)
+    h = gelu(p.dense('pred1.0', decoded))
+    logits = linear(h, p['embd.weight'].T.astype(h.dtype),
+                    p['pred.bias']).astype(jnp.float32)
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    return vals - lse[:, None], idx
+
+
 def fuse_qkv_params(params: Dict) -> Dict:
     """Precompute fused decoder-self-attention QKV weights (one matmul per
     step instead of three inside the while_loop)."""
@@ -443,6 +629,9 @@ class BeamHarness(NamedTuple):
     cache_gather: 'callable'   # (caches, beam_idx (N*k,)) -> caches
     cache_out: 'callable'      # (caches) -> (N*k, S, E) per-step outputs
     embd_dim: int
+    # optional fused top-k over the char head (avoids materializing the
+    # full log_softmax); falls back to char_logprobs + top_k when None
+    char_topk: 'callable' = None
 
 
 def run_beam(harness: BeamHarness, memory: jax.Array,
@@ -459,10 +648,14 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
     out_idx = jnp.full((nk, max_len + 1), END_TOK, jnp.int32)
     out_idx = out_idx.at[:, 0].set(START_TOK)
 
+    def topk(decoded):
+        if harness.char_topk is not None:
+            return harness.char_topk(decoded, beams_k)
+        return jax.lax.top_k(harness.char_logprobs(decoded), beams_k)
+
     decoded, caches = harness.decode_step(caches, out_idx[:, 0],
                                           jnp.int32(0), memory_mask_b)
-    logp = harness.char_logprobs(decoded)
-    top_v, top_i = jax.lax.top_k(logp, beams_k)
+    top_v, top_i = topk(decoded)
     beam_pos = jnp.arange(nk) % beams_k
     out_idx = out_idx.at[:, 1].set(top_i[jnp.arange(nk), beam_pos])
     log_probs = top_v[jnp.arange(nk), beam_pos]
@@ -497,8 +690,7 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
         last_tok = state.out_idx[jnp.arange(nk), step]
         decoded, caches = harness.decode_step(state.caches, last_tok, step,
                                               memory_mask_b)
-        logp = harness.char_logprobs(decoded)
-        top_v, top_i = jax.lax.top_k(logp, beams_k)
+        top_v, top_i = topk(decoded)
         finished = last_tok == END_TOK
         top_v = jnp.where(finished[:, None], 0.0, top_v)
         top_i = jnp.where(finished[:, None], END_TOK, top_i)
@@ -549,17 +741,42 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
                    >= jnp.minimum(valid_feats, mem_len)[:, None])
     memory = encoder_forward(params, memory, memory_mask)
 
-    xpos_tables = xpos_step_tables(max_len)
-    harness = BeamHarness(
-        init_caches=lambda mem_b, nk: init_caches(params, mem_b, nk, max_len),
-        decode_step=lambda caches, tok, step, mask_b: decode_step(
-            params, caches, tok, step, mask_b, xpos_tables),
-        char_logprobs=lambda dec: char_logprobs(params, dec),
-        cache_gather=lambda caches, idx: DecodeCaches(
-            self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
-            mem_k=caches.mem_k, mem_v=caches.mem_v, out=caches.out[idx]),
-        cache_out=lambda caches: caches.out,
-        embd_dim=EMBD_DIM)
+    # Default is the per-layer activation-rotation path: the stacked
+    # "fused" variant rotates the (5, E, 3E) WEIGHTS each step, which costs
+    # ~10x the HBM traffic of rotating (N, E) activations at OCR batch
+    # sizes — measured 159 vs 135 ms per 32-crop chunk on v5e. Kept as an
+    # opt-in for large-batch experiments.
+    if os.environ.get('MIT_TPU_OCR_FUSED', '0') == '1':
+        sp = stack_decoder_params(params)
+        wtab = xpos_weight_tables(max_len)
+        harness = BeamHarness(
+            init_caches=lambda mem_b, nk: init_stacked_caches(
+                params, mem_b, nk, max_len),
+            decode_step=lambda caches, tok, step, mask_b:
+                decode_step_stacked(params, sp, caches, tok, step, mask_b,
+                                    wtab),
+            char_logprobs=lambda dec: char_logprobs(params, dec),
+            char_topk=lambda dec, k: char_topk(params, dec, k),
+            cache_gather=lambda caches, idx: StackedCaches(
+                self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
+                mem_k=caches.mem_k, mem_v=caches.mem_v,
+                out=caches.out[idx]),
+            cache_out=lambda caches: caches.out,
+            embd_dim=EMBD_DIM)
+    else:
+        xpos_tables = xpos_step_tables(max_len)
+        harness = BeamHarness(
+            init_caches=lambda mem_b, nk: init_caches(params, mem_b, nk,
+                                                      max_len),
+            decode_step=lambda caches, tok, step, mask_b: decode_step(
+                params, caches, tok, step, mask_b, xpos_tables),
+            char_logprobs=lambda dec: char_logprobs(params, dec),
+            cache_gather=lambda caches, idx: DecodeCaches(
+                self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
+                mem_k=caches.mem_k, mem_v=caches.mem_v,
+                out=caches.out[idx]),
+            cache_out=lambda caches: caches.out,
+            embd_dim=EMBD_DIM)
     state = run_beam(harness, memory, memory_mask, n, beams_k, max_len,
                      max_finished_hypos)
 

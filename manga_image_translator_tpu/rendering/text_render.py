@@ -22,9 +22,37 @@ DEFAULT_FONT_CANDIDATES = [
 
 _current_font_path: Optional[str] = None
 
-# Characters that rotate in vertical layout (CJK compatibility forms,
-# reference text_render.py:118-157)
-_VERTICAL_ROTATE = set('ー〜…「」『』（）()［］[]{}｛｝<>〈〉《》—‐-–：；＝')
+# CJK compatibility forms: horizontal -> vertical presentation forms
+# (reference text_render.py:118-157 CJK_H2V / CJK_V2H + the 'ー' rotation).
+CJK_H2V = {
+    '‥': '︰', '—': '︱', '―': '|', '–': '︲', '_': '︳',
+    '(': '︵', ')': '︶', '（': '︵', '）': '︶',
+    '{': '︷', '}': '︸', '｛': '︷', '｝': '︸',
+    '〈': '︿', '〉': '﹀', '《': '︽', '》': '︾',
+    '「': '﹁', '」': '﹂', '『': '﹃', '』': '﹄',
+    '[': '﹇', ']': '﹈', '［': '﹇', '］': '﹈',
+    '〔': '︹', '〕': '︺', '…': '︙', '・': '·',
+}
+CJK_V2H = {v: k for k, v in CJK_H2V.items()}
+
+
+def cjk_compat_form(cdpt: str, direction: int):
+    """Translate a codepoint for the target direction (0=h, 1=v); returns
+    (char, rotation_degrees) — mirrors CJK_Compatibility_Forms_translate."""
+    if cdpt == 'ー' and direction == 1:
+        return 'ー', 90
+    if cdpt in ('〜', '～') and direction == 1:
+        return cdpt, 90
+    if cdpt in CJK_V2H:
+        return (CJK_V2H[cdpt], 0) if direction == 0 else (cdpt, 0)
+    if cdpt in CJK_H2V:
+        return (cdpt, 0) if direction == 0 else (CJK_H2V[cdpt], 0)
+    return cdpt, 0
+
+
+# Characters that rotate in vertical layout when the font lacks the
+# vertical presentation form glyph (fallback to rotation).
+_VERTICAL_ROTATE = set('ー〜～…‥—―–_=：；')
 _VERTICAL_PUNCT_SHIFT = set('。、．，')  # shift to top-right corner
 
 HALF_WIDTH_CHARS = 'っッぁぃぅぇぉ'
@@ -70,6 +98,103 @@ def count_text_length(text: str) -> float:
 # --------------------------------------------------------------------------
 # Layout
 # --------------------------------------------------------------------------
+
+def _break_text_syllables(font, text: str, max_width: float,
+                          max_height: float, font_size: int,
+                          language: str = 'en_US', hyphenate: bool = True
+                          ) -> Tuple[List[str], float]:
+    """Syllable-aware line filling with hyphen insertion and the
+    reference's expand-the-box loop (calc_horizontal :612-700): when a
+    height overflow is unavoidable, width/height grow by sqrt(overflow)
+    until the text fits; words break at dictionary/rule syllable
+    boundaries with a trailing '-'."""
+    from .hyphenation import syllables as hyph_syllables
+
+    max_width = max(max_width, 2 * font_size)
+    space_w = font.getlength(' ')
+    hyphen_w = font.getlength('-')
+
+    words = [w for w in text.replace('\n', ' ').split(' ') if w]
+    if not words:
+        return [''], max_width
+    word_widths = [font.getlength(w) for w in words]
+
+    # expand the box when overflow is unavoidable (ref :629-639)
+    if max_height > 0:
+        while True:
+            max_lines = max_height // font_size + 1
+            expected = (sum(word_widths)
+                        + max((len(words) - 1) * space_w
+                              - (max_lines - 1) * hyphen_w, 0))
+            if max_width * max_lines >= expected:
+                break
+            mult = float(np.sqrt(expected / (max_width * max_lines)))
+            max_width *= max(mult, 1.05)
+            max_height *= mult
+
+    lines: List[str] = []
+    cur = ''
+    cur_w = 0.0
+    for word, ww in zip(words, word_widths):
+        sep_w = space_w if cur else 0.0
+        if cur_w + sep_w + ww <= max_width:
+            cur = f'{cur} {word}' if cur else word
+            cur_w += sep_w + ww
+            continue
+        if not hyphenate or _is_cjk(word[0]):
+            # CJK: fill by characters, no hyphen
+            if _is_cjk(word[0]):
+                for ch in word:
+                    cw = font.getlength(ch)
+                    if cur_w + cw > max_width and cur:
+                        lines.append(cur)
+                        cur, cur_w = '', 0.0
+                    cur += ch
+                    cur_w += cw
+                continue
+            if cur:
+                lines.append(cur)
+            cur, cur_w = word, ww
+            continue
+        syls = hyph_syllables(word, language)
+        # split syllables that alone exceed the width
+        norm: List[str] = []
+        for s in syls:
+            if font.getlength(s) > max_width:
+                norm.extend(list(s))
+            else:
+                norm.append(s)
+        # greedily place syllables; remainder wraps (possibly over several
+        # lines for very long words)
+        remaining = norm
+        while remaining:
+            placed = 0
+            line, line_w = cur, cur_w
+            for syl in remaining:
+                sw_ = font.getlength(syl)
+                sep = space_w if (line and placed == 0 and line == cur
+                                  and cur) else 0.0
+                if line_w + sep + sw_ + hyphen_w <= max_width or not line:
+                    line = (f'{line} {syl}' if sep else line + syl)
+                    line_w += sep + sw_
+                    placed += 1
+                else:
+                    break
+            if placed == len(remaining):
+                cur, cur_w = line, line_w
+                remaining = []
+            elif placed > 0:
+                lines.append(line + '-')
+                cur, cur_w = '', 0.0
+                remaining = remaining[placed:]
+            else:
+                if cur:
+                    lines.append(cur)
+                cur, cur_w = '', 0.0
+    if cur:
+        lines.append(cur)
+    return (lines or ['']), max_width
+
 
 def _break_text(font, text: str, max_width: float, hyphenate: bool = True
                 ) -> List[str]:
@@ -138,10 +263,12 @@ def _break_text(font, text: str, max_width: float, hyphenate: bool = True
 
 
 def calc_horizontal(font_size: int, text: str, max_width: float,
-                    max_height: float = 0, language: str = 'en_US'
-                    ) -> Tuple[List[str], float]:
+                    max_height: float = 0, language: str = 'en_US',
+                    hyphenate: bool = True) -> Tuple[List[str], float]:
     font = get_cached_font(int(font_size))
-    lines = _break_text(font, text, max(max_width, font_size))
+    lines, _ = _break_text_syllables(font, text, max(max_width, font_size),
+                                     max_height, int(font_size), language,
+                                     hyphenate)
     height = len(lines) * font_size * 1.1
     return lines, height
 
@@ -173,7 +300,9 @@ def put_text_horizontal(font_size: int, text: str, width: int, height: int,
     font_size = max(int(font_size), 4)
     font = get_cached_font(font_size)
     spacing = line_spacing if line_spacing is not None else 0.01
-    lines = _break_text(font, text, max(width, font_size), hyphenate)
+    lines, _ = _break_text_syllables(
+        font, text, max(width, font_size), height, font_size,
+        target_lang or 'en_US', hyphenate)
     sw = _stroke_width(font_size, bg)
     line_h = int(font_size * (1 + spacing)) + 1
     box_h = line_h * len(lines) + 2 * sw + font_size // 2
@@ -199,7 +328,13 @@ def put_text_horizontal(font_size: int, text: str, width: int, height: int,
 
 
 def put_char_vertical(font_size: int, ch: str, fg, bg) -> np.ndarray:
-    """One character cell for vertical layout, rotated if needed."""
+    """One character cell for vertical layout.
+
+    Applies the CJK compatibility-form translation first (reference
+    CJK_Compatibility_Forms_translate); if the font lacks the vertical
+    presentation glyph (rendered as .notdef/empty), falls back to rotating
+    the horizontal form.
+    """
     font = get_cached_font(font_size)
     sw = _stroke_width(font_size, bg)
     cell = int(font_size * 1.2) + 2 * sw
@@ -207,16 +342,42 @@ def put_char_vertical(font_size: int, ch: str, fg, bg) -> np.ndarray:
     draw = ImageDraw.Draw(img)
     fg_t = tuple(int(v) for v in fg) + (255,)
     bg_t = tuple(int(v) for v in bg) + (255,) if bg is not None else None
-    if ch in _VERTICAL_PUNCT_SHIFT:
-        draw.text((cell * 0.55, -cell * 0.1), ch, font=font, fill=fg_t,
+
+    cdpt, rot = cjk_compat_form(ch, 1)
+    rotate_fallback = False
+    if cdpt != ch and not _font_has_glyph(font, cdpt):
+        cdpt = ch
+        rotate_fallback = True
+
+    if cdpt in _VERTICAL_PUNCT_SHIFT:
+        draw.text((cell * 0.55, -cell * 0.1), cdpt, font=font, fill=fg_t,
                   stroke_width=sw, stroke_fill=bg_t)
     else:
-        w = font.getlength(ch)
-        draw.text(((cell - w) / 2, sw), ch, font=font, fill=fg_t,
+        w = font.getlength(cdpt)
+        draw.text(((cell - w) / 2, sw), cdpt, font=font, fill=fg_t,
                   stroke_width=sw, stroke_fill=bg_t)
-        if ch in _VERTICAL_ROTATE:
+        if rot == 90 or rotate_fallback or (cdpt in _VERTICAL_ROTATE):
             img = img.rotate(-90, expand=False)
     return np.array(img)
+
+
+@functools.lru_cache(maxsize=4096)
+def _font_has_glyph_cached(path: Optional[str], size: int,
+                           ch: str) -> bool:
+    font = get_cached_font(size)
+    try:
+        mask = font.getmask(ch)
+        if mask.size[0] == 0 or mask.size[1] == 0:
+            return False
+        # compare against .notdef (tofu) rendering of an unassigned char
+        tofu = font.getmask('\U000E01EF')
+        return mask.size != tofu.size or bytes(mask) != bytes(tofu)
+    except Exception:
+        return False
+
+
+def _font_has_glyph(font, ch: str) -> bool:
+    return _font_has_glyph_cached(_current_font_path, font.size, ch)
 
 
 def put_text_vertical(font_size: int, text: str, height: int,

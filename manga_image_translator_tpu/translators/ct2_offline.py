@@ -1,57 +1,94 @@
-"""CTranslate2-based offline NMT: sugoi / jparacrawl / m2m100.
+"""CTranslate2-model offline NMT: sugoi / jparacrawl / m2m100.
 
 Contracts from reference ``translators/sugoi.py`` and ``m2m100.py``: the
-same released model archives (ct2 converted weights + sentencepiece models).
-These engines require the native ``ctranslate2`` + ``sentencepiece``
-libraries; when absent, loading raises with a pointer to the HF-backed
-equivalents (m2m100_hf / nllb) instead of failing obscurely.
-"""
+same released model archives (ct2-converted weights + sentencepiece
+models). The native ctranslate2/sentencepiece libraries are NOT required:
+the model.bin parses through translators/ct2_model.py and the spm models
+through utils/spm_lite.py, with the transformer running in JAX. When the
+native libraries happen to exist they are preferred (bit-exact beam
+semantics)."""
 from __future__ import annotations
 
-from typing import List
+import re
+from typing import List, Optional
 
 from .common import OfflineTranslator
 
 
-def _require_ct2():
-    try:
-        import ctranslate2  # noqa: F401
-        import sentencepiece  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            'This translator needs the native ctranslate2 + sentencepiece '
-            'libraries, which are not installed. Use translator=m2m100_hf '
-            'or nllb for an offline alternative.') from e
+def chunks(lst, n):
+    for i in range(0, len(lst), n):
+        yield lst[i:i + n]
 
 
 class _CT2Translator(OfflineTranslator):
-    _CT2_MODEL_DIR = ''
+    """Base: one ct2 model dir per language pair + spm models
+    (reference sugoi.py:14-29 archive layout)."""
+
+    # lang-pair -> model dir relative to the archive root
+    _CT2_MODEL_FOLDERS = {}
+    _SPM_DIR = ''
+    _DEFAULT_PAIR = ('ja', 'en')
 
     def __init__(self):
         super().__init__()
-        self.translator = None
-        self.sp_source = None
-        self.sp_target = None
+        self.model = None
+        self.sp = {}
+        self._loaded_pair = None
+
+    def _resolve_pair(self, from_lang: str, to_lang: str):
+        if from_lang == 'auto':
+            from_lang = self._DEFAULT_PAIR[0] if to_lang != \
+                self._DEFAULT_PAIR[0] else self._DEFAULT_PAIR[1]
+        return from_lang, to_lang
+
+    def _load_pair(self, from_lang: str, to_lang: str):
+        from ..utils import spm_lite
+        from .ct2_model import (Ct2Transformer, load_vocabulary,
+                                read_config, read_ct2_model)
+        pair = f'{from_lang}-{to_lang}'
+        folder = self._CT2_MODEL_FOLDERS.get(pair)
+        if folder is None:
+            raise ValueError(f'unsupported language pair {pair} for '
+                             f'{type(self).__name__}')
+        model_dir = self._get_file_path(folder)
+        variables = read_ct2_model(str(model_dir / 'model.bin'))
+        src_v, tgt_v = load_vocabulary(str(model_dir))
+        self.model = Ct2Transformer(variables, read_config(str(model_dir)),
+                                    src_v, tgt_v)
+        for lang in (from_lang, to_lang):
+            p = self._get_file_path(
+                f'{self._SPM_DIR}/spm.{lang}.nopretok.model')
+            if p.is_file():
+                self.sp[lang] = spm_lite.SentencePieceModel.load(str(p))
+        self._loaded_pair = (from_lang, to_lang)
 
     async def _load(self, device: str):
-        _require_ct2()
-        import ctranslate2
-        import sentencepiece as spm
-        base = self._get_file_path(self._CT2_MODEL_DIR)
-        self.translator = ctranslate2.Translator(str(base), device='cpu')
-        self.sp_source = spm.SentencePieceProcessor(
-            model_file=str(base / 'spm.src.model'))
-        self.sp_target = spm.SentencePieceProcessor(
-            model_file=str(base / 'spm.tgt.model'))
+        # pair-specific weights load lazily on first _infer (the language
+        # pair is not known at ModelWrapper.load time)
+        self.device = device
 
     async def _unload(self):
-        self.translator = None
+        self.model = None
+        self.sp = {}
+
+    def tokenize(self, queries: List[str], lang: str) -> List[List[str]]:
+        sp = self.sp[lang]
+        return [sp.encode(q, out_type=str) for q in queries]
+
+    def detokenize(self, token_lists: List[List[str]], lang: str
+                   ) -> List[str]:
+        sp = self.sp[lang]
+        return [sp.decode(toks) for toks in token_lists]
 
     async def _infer(self, from_lang: str, to_lang: str,
                      queries: List[str]) -> List[str]:
-        tokenized = [self.sp_source.encode(q, out_type=str) for q in queries]
-        results = self.translator.translate_batch(tokenized)
-        return [self.sp_target.decode(r.hypotheses[0]) for r in results]
+        from_lang, to_lang = self._resolve_pair(from_lang, to_lang)
+        if self._loaded_pair != (from_lang, to_lang):
+            self._load_pair(from_lang, to_lang)
+        tokenized = self.tokenize(queries, from_lang)
+        results = self.model.translate_batch(
+            tokenized, beam_size=5, repetition_penalty=3.0)
+        return self.detokenize(results, to_lang)
 
 
 class JparacrawlTranslator(_CT2Translator):
@@ -63,10 +100,15 @@ class JparacrawlTranslator(_CT2Translator):
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/jparacrawl-base-models.zip',
             'hash': 'e98e0fa35a80d2bc48c16673914639db66da1013ec66cc7b79119cdd3b542ebb',
-            'archive-content': '.',
+            'archive': {
+                'jparacrawl/spm.ja.nopretok.model': '.',
+                'jparacrawl/spm.en.nopretok.model': '.',
+            },
         },
     }
-    _CT2_MODEL_DIR = 'jparacrawl'
+    _CT2_MODEL_FOLDERS = {'ja-en': 'jparacrawl/base-ja-en',
+                          'en-ja': 'jparacrawl/base-en-ja'}
+    _SPM_DIR = 'jparacrawl'
 
 
 class JparacrawlBigTranslator(JparacrawlTranslator):
@@ -75,25 +117,77 @@ class JparacrawlBigTranslator(JparacrawlTranslator):
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/jparacrawl-big-models.zip',
             'hash': '5e0c4cea5a5098152f566de3694602ed3db52927d3df22d2a7bfb8dba2bebe33',
-            'archive-content': '.',
+            'archive': {
+                'jparacrawl/spm.ja.nopretok.model': '.',
+                'jparacrawl/spm.en.nopretok.model': '.',
+            },
         },
     }
-    _CT2_MODEL_DIR = 'jparacrawl-big'
+    _CT2_MODEL_FOLDERS = {'ja-en': 'jparacrawl/big-ja-en',
+                          'en-ja': 'jparacrawl/big-en-ja'}
+    _SPM_DIR = 'jparacrawl'
 
 
-class SugoiTranslator(JparacrawlTranslator):
-    """Sugoi V4 ja->en (reference sugoi.py:121-209) — the config default."""
+class SugoiTranslator(JparacrawlBigTranslator):
+    """Sugoi V4 ja->en (reference sugoi.py:121-209) — en->ja falls back to
+    jparacrawl-big. Splits queries into <=2-sentence chunks with '.'->'@'
+    protection, rejoining after translation (reference :179-209)."""
 
     _LANGUAGE_CODE_MAP = {'JPN': 'ja', 'ENG': 'en'}
     _MODEL_MAPPING = {
-        'model': {
+        **JparacrawlBigTranslator._MODEL_MAPPING,
+        'model-sugoi': {
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/sugoi-models.zip',
             'hash': '67e060a62dc16211157a5eaa4fa8f72c86db5999fc69322606a6fcdf57f587f7',
-            'archive-content': '.',
+            'archive': {
+                'sugoi/spm.ja.nopretok.model': '.',
+                'sugoi/spm.en.nopretok.model': '.',
+            },
         },
     }
-    _CT2_MODEL_DIR = 'sugoi'
+    _CT2_MODEL_FOLDERS = {'ja-en': 'sugoi/big-ja-en',
+                          'en-ja': 'jparacrawl/big-en-ja'}
+
+    def __init__(self):
+        super().__init__()
+        self.query_split_sizes: List[int] = []
+
+    def _spm_dir_for(self, lang_pair: str) -> str:
+        return 'sugoi' if lang_pair == 'ja-en' else 'jparacrawl'
+
+    def _load_pair(self, from_lang: str, to_lang: str):
+        self._SPM_DIR = self._spm_dir_for(f'{from_lang}-{to_lang}')
+        super()._load_pair(from_lang, to_lang)
+
+    def tokenize(self, queries: List[str], lang: str) -> List[List[str]]:
+        if lang == 'ja':
+            new_queries = []
+            self.query_split_sizes = []
+            for q in queries:
+                sentences = re.split(r'(\w[.‥…!?。・]+)', q)
+                chunk_queries = []
+                for chunk in chunks(sentences, 4):
+                    s = ''.join(chunk)
+                    chunk_queries.append(re.sub(r'[.。]', '@', s))
+                self.query_split_sizes.append(len(chunk_queries))
+                new_queries.extend(chunk_queries)
+            queries = new_queries
+        return super().tokenize(queries, lang)
+
+    def detokenize(self, token_lists: List[List[str]], lang: str
+                   ) -> List[str]:
+        translations = super().detokenize(token_lists, lang)
+        if lang == 'en' and self.query_split_sizes:
+            rejoined = []
+            i = 0
+            for count in self.query_split_sizes:
+                s = ' '.join(translations[i:i + count])
+                i += count
+                rejoined.append(s.replace('@', '.').replace('▁', ' ')
+                                .replace('<unk>', ''))
+            translations = rejoined
+        return translations
 
 
 class M2M100Translator(_CT2Translator):
@@ -117,15 +211,33 @@ class M2M100Translator(_CT2Translator):
     }
     _CT2_MODEL_DIR = 'm2m100'
 
+    async def _load(self, device: str):
+        from ..utils import spm_lite
+        from .ct2_model import (Ct2Transformer, load_vocabulary,
+                                read_config, read_ct2_model)
+        model_dir = self._get_file_path(self._CT2_MODEL_DIR)
+        variables = read_ct2_model(str(model_dir / 'model.bin'))
+        src_v, tgt_v = load_vocabulary(str(model_dir))
+        self.model = Ct2Transformer(variables, read_config(str(model_dir)),
+                                    src_v, tgt_v)
+        self.spm = spm_lite.SentencePieceModel.load(
+            str(model_dir / 'sentencepiece.model'))
+        self._loaded_pair = ('multi', 'multi')
+
     async def _infer(self, from_lang: str, to_lang: str,
                      queries: List[str]) -> List[str]:
-        tokenized = [[from_lang] + self.sp_source.encode(q, out_type=str)
+        # language-token prefix on source; target prefix emulated by
+        # stripping the leading lang token from the decode (reference
+        # m2m100.py:78-105)
+        tokenized = [[from_lang] + self.spm.encode(q, out_type=str)
                      for q in queries]
-        results = self.translator.translate_batch(
-            tokenized, target_prefix=[[to_lang]] * len(queries))
-        return [self.sp_target.decode(
-            [t for t in r.hypotheses[0] if not t.startswith('__')])
-            for r in results]
+        results = self.model.translate_batch(tokenized, beam_size=5)
+        out = []
+        for toks in results:
+            toks = [t for t in toks if not (t.startswith('__')
+                                            and t.endswith('__'))]
+            out.append(self.spm.decode(toks))
+        return out
 
 
 class M2M100BigTranslator(M2M100Translator):

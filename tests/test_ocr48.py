@@ -193,3 +193,40 @@ def test_ocr_pipeline_smoke():
                            '', 1.0)]
     result = asyncio.run(dispatch(Ocr.ocr48px, img, quads, device='cpu'))
     assert isinstance(result, list)
+
+
+def test_stacked_decode_matches_reference_step():
+    """The fused stacked decode path (weight-side XPOS rotation, combined
+    KV cache) must reproduce the reference-shaped decode_step exactly."""
+    import jax
+    import jax.numpy as jnp
+    from manga_image_translator_tpu.models import ocr48
+
+    params = ocr48.init_params(dict_size=64)
+    rs = np.random.RandomState(5)
+    n, m, S = 3, 12, 10
+    memory = jnp.asarray(rs.randn(n, m, ocr48.EMBD_DIM).astype(np.float32))
+    mask = jnp.zeros((n, m), bool)
+
+    old = ocr48.init_caches(params, memory, n, S)
+    sp = ocr48.stack_decoder_params(params)
+    wtab = ocr48.xpos_weight_tables(S)
+    new = ocr48.init_stacked_caches(params, memory, n, S)
+
+    toks = rs.randint(3, 60, (4, n))
+    for step, tok in enumerate(toks):
+        tok = jnp.asarray(tok)
+        out_old, old = ocr48.decode_step(params, old, tok,
+                                         jnp.int32(step), mask)
+        out_new, new = ocr48.decode_step_stacked(params, sp, new, tok,
+                                                 jnp.int32(step), mask, wtab)
+        np.testing.assert_allclose(np.asarray(out_old), np.asarray(out_new),
+                                   rtol=2e-4, atol=2e-4)
+
+    # char_topk == top_k(log_softmax)
+    logp = ocr48.char_logprobs(params, out_new)
+    v0, i0 = jax.lax.top_k(logp, 5)
+    v1, i1 = ocr48.char_topk(params, out_new, 5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)

@@ -100,3 +100,82 @@ def test_render_mask_filled():
                          ['a'], 'text', target_lang='ENG')
     asyncio.run(dispatch(img, [region], render_mask=mask))
     assert mask.max() == 1
+
+
+class TestTypography:
+    def test_rule_syllables(self):
+        from manga_image_translator_tpu.rendering.hyphenation import \
+            syllables
+        # whole short words stay intact
+        assert syllables('the') == ['the']
+        # rule-based splits keep >=2 chars per side and reassemble
+        for word in ('hyphenation', 'translator', 'wonderful', 'computer'):
+            syls = syllables(word, 'en_US')
+            assert ''.join(syls) == word
+            assert len(syls) >= 2
+            assert all(len(s) >= 2 for s in syls)
+
+    def test_liang_patterns(self):
+        from manga_image_translator_tpu.rendering.hyphenation import \
+            LiangHyphenator
+        # the canonical Liang example: hy-phen-ation with TeX patterns
+        h = LiangHyphenator(['hy3ph', 'he2n', 'hena4', 'hen5at', 'hina',
+                             '5ation', 'n2at', 'itio', '2io', 'o2n'])
+        assert h.syllables('hyphenation') == ['hy', 'phen', 'ation']
+
+    def test_calc_horizontal_hyphenates(self):
+        from manga_image_translator_tpu.rendering import text_render
+        text_render.set_font('')
+        lines, h = text_render.calc_horizontal(
+            20, 'extraordinary hyphenation behaviour', 120, 400, 'en_US')
+        assert len(lines) >= 2
+        # hyphen appears when a word is split mid-line
+        joined = ''.join(lines)
+        assert joined.replace('-', '').replace(' ', '') == \
+            'extraordinaryhyphenationbehaviour'.replace(' ', '')
+
+    def test_lines_fit_width(self):
+        from manga_image_translator_tpu.rendering import text_render
+        text_render.set_font('')
+        font = text_render.get_cached_font(18)
+        width = 150
+        lines, _ = text_render.calc_horizontal(
+            18, 'some reasonably long sentence with several normal words',
+            width, 600, 'en_US')
+        for line in lines:
+            assert font.getlength(line) <= width * 1.6 + 18
+
+    def test_horizontal_box_contains_glyphs(self):
+        from manga_image_translator_tpu.rendering import text_render
+        text_render.set_font('')
+        box = text_render.put_text_horizontal(
+            24, 'HELLO WORLD WRAP TEST', 140, 200, fg=(0, 0, 0),
+            bg=(255, 255, 255))
+        # opaque pixels exist and do not touch the left/right borders
+        alpha = box[:, :, 3]
+        assert alpha.max() == 255
+        ys, xs = np.nonzero(alpha)
+        assert xs.min() >= 0 and xs.max() < box.shape[1]
+        # at least two lines rendered (wrapped)
+        rows = np.unique((ys // 24))
+        assert len(rows) >= 2
+
+    def test_cjk_compat_forms(self):
+        from manga_image_translator_tpu.rendering.text_render import \
+            cjk_compat_form
+        assert cjk_compat_form('「', 1)[0] == '﹁'
+        assert cjk_compat_form('「', 0)[0] == '「'
+        assert cjk_compat_form('﹁', 0)[0] == '「'
+        assert cjk_compat_form('ー', 1) == ('ー', 90)
+        assert cjk_compat_form('A', 1) == ('A', 0)
+
+    def test_vertical_layout_columns(self):
+        from manga_image_translator_tpu.rendering import text_render
+        text_render.set_font('')
+        box = text_render.put_text_vertical(
+            20, 'テスト「縦書き」です。', 80, fg=(0, 0, 0), bg=None)
+        assert box.shape[2] == 4
+        # multiple columns for text longer than the height budget
+        alpha = box[:, :, 3]
+        cols_with_ink = np.unique(np.nonzero(alpha)[1] // 24)
+        assert len(cols_with_ink) >= 2
