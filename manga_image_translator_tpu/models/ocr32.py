@@ -215,7 +215,8 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
     memory = encoder_forward(params, memory, memory_mask)
 
     harness = ocr48.BeamHarness(
-        init_caches=lambda mem, nk: init_caches(params, mem, nk, max_len),
+        init_caches=lambda mem, nk, mask_b: init_caches(params, mem, nk,
+                                                        max_len),
         decode_step=lambda caches, tok, step, mask: decode_step(
             params, caches, tok, step, mask),
         char_logprobs=lambda dec: char_logprobs(params, dec),

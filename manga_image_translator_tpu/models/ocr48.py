@@ -558,13 +558,18 @@ def decode_step_stacked(params: Dict, sp: Dict, caches: StackedCaches,
                               out)
 
 
-def char_topk(params: Dict, decoded: jax.Array, k: int
+def char_topk(params: Dict, decoded: jax.Array, k: int,
+              wout: Optional[jax.Array] = None
               ) -> Tuple[jax.Array, jax.Array]:
     """Top-k log-probs without materializing the (N, V) log_softmax:
-    top-k on raw logits (same indices) + logsumexp correction."""
+    top-k on raw logits (same indices) + logsumexp correction. ``wout``
+    is the pre-transposed (E, V) vocab matrix — hoisting the transpose
+    out of the decode loop (XLA does not LICM large transposes out of
+    while_loop bodies)."""
     p = P(params)
     h = gelu(p.dense('pred1.0', decoded))
-    logits = linear(h, p['embd.weight'].T.astype(h.dtype),
+    w = wout if wout is not None else p['embd.weight'].T
+    logits = linear(h, w.astype(h.dtype),
                     p['pred.bias']).astype(jnp.float32)
     vals, idx = jax.lax.top_k(logits, k)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
@@ -589,10 +594,12 @@ def fuse_qkv_params(params: Dict) -> Dict:
     return out
 
 
-def char_logprobs(params: Dict, decoded: jax.Array) -> jax.Array:
+def char_logprobs(params: Dict, decoded: jax.Array,
+                  wout: Optional[jax.Array] = None) -> jax.Array:
     p = P(params)
     h = gelu(p.dense('pred1.0', decoded))
-    logits = linear(h, p['embd.weight'].T.astype(h.dtype), p['pred.bias'])
+    w = wout if wout is not None else p['embd.weight'].T
+    logits = linear(h, w.astype(h.dtype), p['pred.bias'])
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
@@ -603,6 +610,94 @@ def color_predictions(params: Dict, decoded: jax.Array):
     return (p.dense('color_pred_fg', feats), p.dense('color_pred_bg', feats),
             p.dense('color_pred_fg_ind', feats),
             p.dense('color_pred_bg_ind', feats))
+
+
+# --------------------------------------------------------------------------
+# Pallas fused-kernel decode path (ops/pallas_decode): one kernel launch
+# per step instead of ~115 XLA ops — measured 0.225 vs 0.590 ms/step at
+# n=80, S=256 on v5e. Caches live step-major (L, S, NK, EP) so the kernel
+# streams contiguous CH-row chunks, visiting only ceil(step/CH) chunks.
+# --------------------------------------------------------------------------
+
+class PallasCaches(NamedTuple):
+    self_k: jax.Array   # (L, S_pad, NK, EP) bf16
+    self_v: jax.Array   # (L, S_pad, NK, EP) bf16
+    mem_k: jax.Array    # (L, M_pad, NK, EP) bf16 — mask on pad lane E
+    mem_v: jax.Array    # (L, M_pad, NK, EP) bf16
+    out: jax.Array      # (NK, S, E) last-layer outputs (color heads)
+
+
+def _pallas_decode_mode() -> Optional[str]:
+    """'compiled' / 'interpret' / None — MIT_TPU_OCR_PALLAS overrides
+    (0/1/interpret); default: compiled on TPU backends, off on CPU."""
+    env = os.environ.get('MIT_TPU_OCR_PALLAS', 'auto')
+    if env == '0':
+        return None
+    if env == 'interpret':
+        return 'interpret'
+    if env == '1':
+        return 'compiled'
+    try:
+        backend = jax.default_backend()
+    except Exception:       # pragma: no cover - backend probe failure
+        return None
+    return 'compiled' if backend in ('tpu', 'axon') else None
+
+
+def _pallas_harness(params: Dict, dtype, max_len: int,
+                    interpret: bool = False) -> 'BeamHarness':
+    from ..ops import pallas_decode as pd
+
+    s_pad = -(-max_len // pd.CH) * pd.CH
+    weights = pd.prepare_decode_weights(params)
+    rots_tab = pd.prepare_rots(xpos_step_tables(max_len), N_HEADS)
+    embd_p = pd.pad_e(params['embd.weight'].astype(jnp.bfloat16))
+    wout = params['embd.weight'].T
+
+    def init(memory_b, nk, mask_b):
+        m = memory_b.shape[1]
+        m_pad = -(-m // pd.CH) * pd.CH
+        base = init_caches(params, memory_b, nk, 1)   # mem K/V projections
+        if m_pad != m:
+            mask_b = jnp.concatenate(
+                [mask_b, jnp.ones((nk, m_pad - m), bool)], axis=1)
+        mem_k, mem_v = pd.prepare_mem(base.mem_k, base.mem_v, mask_b,
+                                      m_pad=m_pad)
+        return PallasCaches(
+            self_k=jnp.zeros((pd.L, s_pad, nk, pd.EP), jnp.bfloat16),
+            self_v=jnp.zeros((pd.L, s_pad, nk, pd.EP), jnp.bfloat16),
+            mem_k=mem_k, mem_v=mem_v,
+            out=jnp.zeros((nk, max_len, EMBD_DIM), dtype))
+
+    def dstep(caches, tok, step, mask_b):
+        nk = caches.out.shape[0]
+        m_pad = caches.mem_k.shape[1]
+        tgt = embd_p[tok]
+        out, k_new, v_new = pd.decode_step_pallas(
+            step, tgt, rots_tab[step], weights,
+            caches.self_k, caches.self_v, caches.mem_k, caches.mem_v,
+            n=nk, s_len=s_pad, m_len=m_pad, interpret=interpret)
+        self_k = jax.lax.dynamic_update_slice(
+            caches.self_k, k_new[:, None], (0, step, 0, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            caches.self_v, v_new[:, None], (0, step, 0, 0))
+        out_e = out[:, :EMBD_DIM].astype(dtype)
+        outc = jax.lax.dynamic_update_slice(
+            caches.out, out_e[:, None], (0, step, 0))
+        return out_e, caches._replace(self_k=self_k, self_v=self_v,
+                                      out=outc)
+
+    return BeamHarness(
+        init_caches=init,
+        decode_step=dstep,
+        char_logprobs=lambda dec: char_logprobs(params, dec, wout),
+        char_topk=lambda dec, k: char_topk(params, dec, k, wout),
+        cache_gather=lambda caches, idx: caches._replace(
+            self_k=caches.self_k[:, :, idx],
+            self_v=caches.self_v[:, :, idx],
+            out=caches.out[idx]),
+        cache_out=lambda caches: caches.out,
+        embd_dim=EMBD_DIM)
 
 
 # --------------------------------------------------------------------------
@@ -623,7 +718,7 @@ class BeamState(NamedTuple):
 class BeamHarness(NamedTuple):
     """Model-specific hooks for the generic fixed-shape beam search, shared
     by the 48px and 32px autoregressive OCR decoders."""
-    init_caches: 'callable'    # (memory_b (N*k,M,E), nk) -> caches
+    init_caches: 'callable'    # (memory_b (N*k,M,E), nk, mask_b) -> caches
     decode_step: 'callable'    # (caches, tok (N*k,), step, mask_b) -> (out, caches)
     char_logprobs: 'callable'  # (decoded (N*k,E)) -> (N*k, V) logprobs
     cache_gather: 'callable'   # (caches, beam_idx (N*k,)) -> caches
@@ -643,7 +738,7 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
     nk = n * beams_k
     memory_b = jnp.repeat(memory, beams_k, axis=0)
     memory_mask_b = jnp.repeat(memory_mask, beams_k, axis=0)
-    caches = harness.init_caches(memory_b, nk)
+    caches = harness.init_caches(memory_b, nk, memory_mask_b)
 
     out_idx = jnp.full((nk, max_len + 1), END_TOK, jnp.int32)
     out_idx = out_idx.at[:, 0].set(START_TOK)
@@ -741,16 +836,20 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
                    >= jnp.minimum(valid_feats, mem_len)[:, None])
     memory = encoder_forward(params, memory, memory_mask)
 
+    pallas_mode = _pallas_decode_mode()
+    if pallas_mode is not None:
+        harness = _pallas_harness(params, memory.dtype, max_len,
+                                  interpret=(pallas_mode == 'interpret'))
     # Default is the per-layer activation-rotation path: the stacked
     # "fused" variant rotates the (5, E, 3E) WEIGHTS each step, which costs
     # ~10x the HBM traffic of rotating (N, E) activations at OCR batch
     # sizes — measured 159 vs 135 ms per 32-crop chunk on v5e. Kept as an
     # opt-in for large-batch experiments.
-    if os.environ.get('MIT_TPU_OCR_FUSED', '0') == '1':
+    elif os.environ.get('MIT_TPU_OCR_FUSED', '0') == '1':
         sp = stack_decoder_params(params)
         wtab = xpos_weight_tables(max_len)
         harness = BeamHarness(
-            init_caches=lambda mem_b, nk: init_stacked_caches(
+            init_caches=lambda mem_b, nk, mask_b: init_stacked_caches(
                 params, mem_b, nk, max_len),
             decode_step=lambda caches, tok, step, mask_b:
                 decode_step_stacked(params, sp, caches, tok, step, mask_b,
@@ -765,12 +864,15 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
             embd_dim=EMBD_DIM)
     else:
         xpos_tables = xpos_step_tables(max_len)
+        # transpose the (V, E) vocab matrix ONCE, outside the while_loop
+        wout = params['embd.weight'].T
         harness = BeamHarness(
-            init_caches=lambda mem_b, nk: init_caches(params, mem_b, nk,
-                                                      max_len),
+            init_caches=lambda mem_b, nk, mask_b: init_caches(
+                params, mem_b, nk, max_len),
             decode_step=lambda caches, tok, step, mask_b: decode_step(
                 params, caches, tok, step, mask_b, xpos_tables),
-            char_logprobs=lambda dec: char_logprobs(params, dec),
+            char_logprobs=lambda dec: char_logprobs(params, dec, wout),
+            char_topk=lambda dec, k: char_topk(params, dec, k, wout),
             cache_gather=lambda caches, idx: DecodeCaches(
                 self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
                 mem_k=caches.mem_k, mem_v=caches.mem_v,

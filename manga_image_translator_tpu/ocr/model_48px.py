@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..config import OcrConfig
 from ..models import ocr48
+from ..ops import warp
 from ..models.torch_loader import convert_state_dict
 from ..utils.geometry import Quadrilateral
 from ..utils.textblock import TextBlock
@@ -102,33 +103,67 @@ class Model48pxOCR(OfflineOCR):
         threshold = 0.2 if config.prob is None else config.prob
 
         quadrilaterals = list(self._generate_text_direction(textlines))
-        region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
-                       for q, d in quadrilaterals]
         out_regions = []
 
-        perm = range(len(region_imgs))
-        is_quadrilaterals = False
-        if quadrilaterals and isinstance(quadrilaterals[0][0], Quadrilateral):
-            perm = sorted(range(len(region_imgs)),
-                          key=lambda x: region_imgs[x].shape[1])
-            is_quadrilaterals = True
+        is_quadrilaterals = bool(
+            quadrilaterals
+            and isinstance(quadrilaterals[0][0], Quadrilateral))
+
+        # Crop extraction: device-batched perspective sampling by default
+        # (host DLT homographies + one bilinear gather per chunk,
+        # ops/warp.py); host cv2 path kept behind MIT_TPU_HOST_CROPS=1 and
+        # for the TextBlock line-index form.
+        use_device_crops = (is_quadrilaterals and
+                            __import__('os').environ
+                            .get('MIT_TPU_HOST_CROPS', '0') != '1')
+        if use_device_crops:
+            plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
+                     for q, d in quadrilaterals]
+            widths_all = [p[0] for p in plans]
+            img_dev = jnp.asarray(np.ascontiguousarray(image))
+        else:
+            region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
+                           for q, d in quadrilaterals]
+            widths_all = [r.shape[1] for r in region_imgs]
+
+        perm = range(len(quadrilaterals))
+        if is_quadrilaterals:
+            perm = sorted(range(len(quadrilaterals)),
+                          key=lambda x: widths_all[x])
 
         ix = 0
-        chunk_size = BIG_CHUNK if len(perm) > MAX_CHUNK else MAX_CHUNK
+        chunk_size = BIG_CHUNK if len(list(perm)) > MAX_CHUNK else MAX_CHUNK
         for indices in chunks(list(perm), chunk_size):
-            widths = [region_imgs[i].shape[1] for i in indices]
+            widths = [widths_all[i] for i in indices]
             bw = bucket_width(max(widths))
-            batch = np.zeros((chunk_size, TEXT_HEIGHT, bw, 3), dtype=np.uint8)
-            for i, idx in enumerate(indices):
-                w = min(region_imgs[idx].shape[1], bw)
-                batch[i, :, :w, :] = region_imgs[idx][:, :w]
-                if verbose:
-                    self._dump_crop(batch[i], quadrilaterals[idx][1], ix)
-                ix += 1
             valid_widths = np.zeros((chunk_size,), np.int32)
             valid_widths[:len(indices)] = [min(w, bw) for w in widths]
 
-            images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
+            if use_device_crops:
+                Hs = np.stack([plans[i][1] for i in indices]
+                              + [warp._DEGENERATE_H] *
+                              (chunk_size - len(indices)))
+                images = warp.crop_batch(img_dev, jnp.asarray(Hs),
+                                         jnp.asarray(valid_widths),
+                                         out_h=TEXT_HEIGHT, out_w=bw)
+                if verbose:
+                    crops_host = np.asarray(
+                        (images + 1.0) * 127.5).astype(np.uint8)
+                    for i, idx in enumerate(indices):
+                        self._dump_crop(crops_host[i],
+                                        quadrilaterals[idx][1], ix)
+                        ix += 1
+            else:
+                batch = np.zeros((chunk_size, TEXT_HEIGHT, bw, 3),
+                                 dtype=np.uint8)
+                for i, idx in enumerate(indices):
+                    w = min(region_imgs[idx].shape[1], bw)
+                    batch[i, :, :w, :] = region_imgs[idx][:, :w]
+                    if verbose:
+                        self._dump_crop(batch[i], quadrilaterals[idx][1], ix)
+                    ix += 1
+                images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
+
             ret = ocr48.beam_decode(self.params, images,
                                     jnp.asarray(valid_widths),
                                     beams_k=BEAMS, max_len=MAX_SEQ_LEN)

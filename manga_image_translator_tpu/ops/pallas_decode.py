@@ -1,0 +1,438 @@
+"""Fused OCR decoder step — all 5 transformer layers in one Pallas kernel.
+
+Why: the 48px OCR beam decode is dispatch-bound: ~115 small XLA ops per
+while_loop step at ~5 us sequencer overhead each (~0.6 ms/step before the
+char head), while the actual math is ~1.3 GFLOP. This kernel runs the
+whole per-step decoder stack (self-attention with KV cache, XPOS
+rotation, cross-attention, feed-forward) as ONE launch: per-layer dense
+packs and FF weights stream from HBM double-buffered, KV caches stream in
+CH-row chunks through a single-pass ONLINE softmax (flash-attention
+style), and the causal pass visits only ceil((step+1)/CH) chunks so a
+step costs O(step) cache traffic rather than O(max_len).
+
+Design notes (reference semantics: models/ocr48.py decode_step, itself
+from reference ocr/model_48px.py infer_beam_batch_tensor):
+
+* Every lane (last-dim) extent is a multiple of 128: the embedding dim is
+  zero-padded 320 -> 384 (Mosaic requires 128-aligned lanes on DMA'd
+  buffers, and lane-4 score buffers would pad 4 -> 128, a 32x VMEM
+  blowup — the online softmax keeps all (n, H) statistics in vregs).
+* XPOS rotation is realized as x*cos + (x @ J)*sin where J is the
+  constant pair-swap matrix — a tiny MXU matmul instead of lane
+  shuffles, which Mosaic handles poorly.
+* Per-head attention at decode time is a batched matvec, which the MXU
+  cannot tile; chunk scores are computed as an elementwise product with
+  the query followed by a segment-sum matmul against a 0/1 (EP, H)
+  matrix, and the value mix expands (.., H) weights back to (.., EP)
+  through the transposed segment matrix.
+* The cross-attention length mask rides the pad lane E (=320): the
+  prerotated memory keys carry the additive mask value there
+  (prepare_mem), the cross-q bias is 1.0 there (prepare_decode_weights),
+  and the segment matrix sums that lane into every head's score. The
+  self-attention K/V rows keep lane E zero, so the same segment matrix
+  adds nothing on the causal pass.
+* KV caches live in HBM as (L, S, N, EP) so a chunk DMA is contiguous;
+  the CURRENT step's k/v are written into the streamed chunk in VMEM, so
+  attention covers position ``step`` without a separate path, and are
+  also returned for the XLA side to persist with one
+  dynamic_update_slice each.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E = 320           # model embedding dim
+EP = 384          # lane-padded embedding dim
+H = 4
+HD = 80
+L = 5
+FF = 2048
+CH = 8            # cache chunk rows streamed per DMA
+
+NEG = -1e9        # additive mask value (finite: -inf breeds NaNs in the
+                  # online-softmax rescale)
+
+
+def pad_e(x, axis: int = -1, value: float = 0.0):
+    """Pad ``axis`` from E to EP (jnp or np)."""
+    if x.shape[axis] == EP:
+        return x
+    assert x.shape[axis] == E, x.shape
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, EP - E)
+    if isinstance(x, jax.Array):
+        return jnp.pad(x, pads, constant_values=value)
+    return np.pad(x, pads, constant_values=value)
+
+
+def _pair_swap_matrix() -> np.ndarray:
+    """(EP, EP) with J[2i+1, 2i] = -1, J[2i, 2i+1] = 1 per head-dim pair
+    (zero in the lane-pad region): x @ J == rotate-pairs(x)."""
+    j = np.zeros((EP, EP), np.float32)
+    for i in range(0, E, 2):
+        j[i + 1, i] = -1.0
+        j[i, i + 1] = 1.0
+    return j
+
+
+def _segment_matrix() -> np.ndarray:
+    """(EP, H) head-sum matrix; row E is all-ones so the mask value riding
+    pad lane E of the memory keys lands in every head's score."""
+    seg = np.zeros((EP, H), np.float32)
+    for h in range(H):
+        seg[h * HD:(h + 1) * HD, h] = 1.0
+    seg[E, :] = 1.0
+    return seg
+
+
+def _value_segment_matrix() -> np.ndarray:
+    """(H, EP) head-expand matrix WITHOUT the mask row: value mixing and
+    softmax-weight expansion must not write into the pad lanes."""
+    seg = np.zeros((H, EP), np.float32)
+    for h in range(H):
+        seg[h, h * HD:(h + 1) * HD] = 1.0
+    return seg
+
+
+def _ln(x, w, b):
+    """LayerNorm over the E *logical* lanes of an (n, EP) tile. Input pads
+    are zero by construction (all weights are zero-padded), so plain sums
+    divide by E; the (x - mean) shift is masked back to zero on pads."""
+    xf = x.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xf.shape, xf.ndim - 1)
+    mean = jnp.sum(xf, -1, keepdims=True) / E
+    d = jnp.where(lane < E, xf - mean, 0.0)
+    var = jnp.sum(d * d, -1, keepdims=True) / E
+    return d * jax.lax.rsqrt(var + 1e-5) * w + b
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
+                   lnb_ref, ffb1_ref, ffb2_ref, jmat_ref, seg_ref,
+                   segv_ref,
+                   selfk_hbm, selfv_hbm, memk_hbm, memv_hbm,
+                   wbig_hbm, ff1_hbm, ff2_hbm,
+                   out_ref, knew_ref, vnew_ref,
+                   kbuf, vbuf, wbuf, ff1buf, ff2buf,
+                   ksem, vsem, wsem, ffsem,
+                   *, n: int, s_len: int, m_len: int):
+    step = step_ref[0, 0]
+    jmat = jmat_ref[:]
+    seg = seg_ref[:]          # (EP, H) score-sum (incl. mask row E)
+    segv = segv_ref[:]        # (H, EP) head-expand (pad lanes zero)
+
+    def rot(x, sin_row, cos_row):
+        return (x * cos_row + _mm(x, jmat).astype(x.dtype)
+                * sin_row).astype(x.dtype)
+
+    sq_sin = rots_ref[0:1, :].astype(jnp.bfloat16)
+    sq_cos = rots_ref[1:2, :].astype(jnp.bfloat16)
+    sk_sin = rots_ref[2:3, :].astype(jnp.bfloat16)
+    sk_cos = rots_ref[3:4, :].astype(jnp.bfloat16)
+    cq_sin = rots_ref[4:5, :].astype(jnp.bfloat16)
+    cq_cos = rots_ref[5:6, :].astype(jnp.bfloat16)
+
+    def dma_k(hbm, l, c, slot):
+        return pltpu.make_async_copy(
+            hbm.at[l, pl.ds(c * CH, CH)], kbuf.at[slot], ksem.at[slot])
+
+    def dma_v(hbm, l, c, slot):
+        return pltpu.make_async_copy(
+            hbm.at[l, pl.ds(c * CH, CH)], vbuf.at[slot], vsem.at[slot])
+
+    def dma_ff(l):
+        return (pltpu.make_async_copy(ff1_hbm.at[l], ff1buf, ffsem.at[0]),
+                pltpu.make_async_copy(ff2_hbm.at[l], ff2buf, ffsem.at[1]))
+
+    def dma_w(l, slot):
+        return pltpu.make_async_copy(wbig_hbm.at[l], wbuf.at[slot],
+                                     wsem.at[slot])
+
+    tgt = tgt_ref[:]
+
+    def attention(q_rot, hbm_k, hbm_v, l, n_chunks, causal, kr, vr):
+        """Single-pass online-softmax attention over streamed chunks;
+        returns (n, EP) f32 (pad lanes zero). Running max / denominator
+        stay per-(n, H) in vregs — nothing score-shaped ever hits VMEM."""
+        if causal:
+            n_needed = (step + CH) // CH          # dynamic trip count
+        else:
+            n_needed = n_chunks
+
+        def body(c, carry):
+            m_run, l_run, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_needed)
+            def _prefetch():
+                nslot = jax.lax.rem(c + 1, 2)
+                dma_k(hbm_k, l, c + 1, nslot).start()
+                dma_v(hbm_v, l, c + 1, nslot).start()
+
+            dma_k(hbm_k, l, c, slot).wait()
+            dma_v(hbm_v, l, c, slot).wait()
+            lo = c * CH
+            if causal:
+                in_chunk = (step >= lo) & (step < lo + CH)
+
+                @pl.when(in_chunk)
+                def _():
+                    kbuf[slot, step - lo] = kr
+                    vbuf[slot, step - lo] = vr
+
+            prod = kbuf[slot] * q_rot[None]
+            sc = _mm(prod.reshape(CH * n, EP).astype(jnp.bfloat16),
+                     seg).reshape(CH, n, H)
+            if causal:
+                row = (jax.lax.broadcasted_iota(jnp.int32, (CH, n, H), 0)
+                       + lo)
+                sc = jnp.where(row > step, NEG, sc)
+
+            m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))
+            alpha = jnp.exp(m_run - m_new)                  # (n, H)
+            p = jnp.exp(sc - m_new[None])                   # (CH, n, H)
+            l_new = l_run * alpha + jnp.sum(p, axis=0)
+            w_e = _mm(p.reshape(CH * n, H).astype(jnp.bfloat16),
+                      segv).reshape(CH, n, EP)
+            scale = _mm(alpha.astype(jnp.bfloat16), segv)   # (n, EP)
+            acc = acc * scale + jnp.sum(
+                w_e * vbuf[slot].astype(jnp.float32), axis=0)
+            return m_new, l_new, acc
+
+        dma_k(hbm_k, l, 0, 0).start()
+        dma_v(hbm_v, l, 0, 0).start()
+        m0 = jnp.full((n, H), NEG, jnp.float32)
+        l0 = jnp.zeros((n, H), jnp.float32)
+        acc0 = jnp.zeros((n, EP), jnp.float32)
+        _, l_fin, acc = jax.lax.fori_loop(0, n_needed, body,
+                                          (m0, l0, acc0))
+        dinv = 1.0 / (l_fin + 1e-9)
+        return acc * _mm(dinv.astype(jnp.bfloat16), segv)
+
+    dma_w(0, 0).start()
+    for l in range(L):
+        # prefetch this layer's FF weights and the NEXT layer's dense pack
+        # during attention
+        ff_dmas = dma_ff(l)
+        ff_dmas[0].start()
+        ff_dmas[1].start()
+        dma_w(l, l % 2).wait()
+        if l + 1 < L:
+            dma_w(l + 1, (l + 1) % 2).start()
+        slot = l % 2
+
+        # slice each projection out of the packed buffer AT THE REF level:
+        # Mosaic rejects lane-offset slices of computed values, but static
+        # 128-aligned memref slices are fine
+        def wsl(i):
+            return wbuf[slot, :, i * EP:(i + 1) * EP]
+
+        def bsl(i):
+            return bbig_ref[l:l + 1, i * EP:(i + 1) * EP]
+
+        xn = _ln(tgt, lnw_ref[l, 0:1, :], lnb_ref[l, 0:1, :]).astype(
+            jnp.bfloat16)
+        q = (_mm(xn, wsl(0)) + bsl(0)).astype(jnp.bfloat16)
+        k = (_mm(xn, wsl(1)) + bsl(1)).astype(jnp.bfloat16)
+        v = (_mm(xn, wsl(2)) + bsl(2)).astype(jnp.bfloat16)
+        qr = rot(q, sq_sin, sq_cos)
+        kr = rot(k, sk_sin, sk_cos)
+        knew_ref[l] = kr
+        vnew_ref[l] = v
+
+        attn = attention(qr, selfk_hbm, selfv_hbm, l, s_len // CH,
+                         True, kr, v).astype(jnp.bfloat16)
+        tgt = (tgt.astype(jnp.float32)
+               + _mm(attn, wsl(3)) + bsl(3)).astype(jnp.bfloat16)
+
+        # ---- cross attention over prerotated memory K/V (additive mask
+        # rides pad lane E of the keys; cross-q bias there is 1.0) ----
+        xn2 = _ln(tgt, lnw_ref[l, 1:2, :], lnb_ref[l, 1:2, :]).astype(
+            jnp.bfloat16)
+        q2 = (_mm(xn2, wsl(4)) + bsl(4)).astype(jnp.bfloat16)
+        q2r = rot(q2, cq_sin, cq_cos)
+        attn2 = attention(q2r, memk_hbm, memv_hbm, l, m_len // CH,
+                          False, None, None).astype(jnp.bfloat16)
+        tgt = (tgt.astype(jnp.float32)
+               + _mm(attn2, wsl(5)) + bsl(5)).astype(jnp.bfloat16)
+
+        # ---- feed-forward (weights prefetched above) ----
+        ff_dmas[0].wait()
+        ff_dmas[1].wait()
+        xn3 = _ln(tgt, lnw_ref[l, 2:3, :], lnb_ref[l, 2:3, :]).astype(
+            jnp.bfloat16)
+        h1 = jnp.maximum(_mm(xn3, ff1buf[:]) + ffb1_ref[l:l + 1, :],
+                         0.0).astype(jnp.bfloat16)
+        tgt = (tgt.astype(jnp.float32)
+               + _mm(h1, ff2buf[:]) + ffb2_ref[l:l + 1, :]).astype(
+                   jnp.bfloat16)
+
+    out_ref[:] = tgt
+
+
+@functools.partial(jax.jit, static_argnames=('n', 's_len', 'm_len',
+                                             'interpret'))
+def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
+                       mem_k, mem_v, n: int, s_len: int,
+                       m_len: int, interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused decoder step.
+
+    Args:
+      step: scalar int32.
+      tgt: (N, EP) bf16 token embeddings (pad_e'd).
+      rots: (6, EP) f32 per-step rotation rows (prepare_rots).
+      weights: stacked params (prepare_decode_weights).
+      self_k/self_v: (L, S, N, EP) bf16 caches (HBM).
+      mem_k/mem_v: (L, M, N, EP) bf16 prerotated memory (prepare_mem —
+        mem_k lane E carries the additive length mask).
+    Returns (tgt_out (N,EP), k_new (L,N,EP), v_new (L,N,EP)).
+    """
+    kernel = functools.partial(_decode_kernel, n=n, s_len=s_len,
+                               m_len=m_len)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # step
+        ] + [pl.BlockSpec(memory_space=vm)] * 10
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=vm)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, EP), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # k chunks
+            pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # v chunks
+            pltpu.VMEM((2, EP, 6 * EP), jnp.bfloat16),    # dense-pack x2
+            pltpu.VMEM((EP, FF), jnp.bfloat16),           # ff1
+            pltpu.VMEM((FF, EP), jnp.bfloat16),           # ff2
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, rots,
+      weights['bbig'], weights['ln_w'], weights['ln_b'],
+      weights['ffb1'], weights['ffb2'], weights['jmat'], weights['seg'],
+      weights['segv'],
+      self_k, self_v, mem_k, mem_v,
+      weights['wbig'], weights['ff1'], weights['ff2'])
+
+
+def prepare_decode_weights(params: Dict) -> Dict[str, jax.Array]:
+    """Stack the 5 decoder layers into the kernel's layout, every E-extent
+    zero-padded to EP lanes (done once per chunk, outside the decode
+    loop)."""
+    from ..models.functional import P
+    p = P(params)
+
+    def dense_w(att, proj):
+        w = jnp.stack([
+            p[f'decoders.{l}.{att}.{proj}.weight'] for l in range(L)
+        ]).astype(jnp.bfloat16)
+        return pad_e(pad_e(w, 1), 2)
+
+    def dense_b(att, proj):
+        b = jnp.stack([
+            p[f'decoders.{l}.{att}.{proj}.bias'] for l in range(L)
+        ]).astype(jnp.float32)
+        return pad_e(b, 1)
+
+    # fold the attention scale into the q projection; pack the six dense
+    # projections per layer into ONE (L, EP, 6*EP) tensor, streamed from
+    # HBM layer-by-layer (double-buffered) — they don't fit VMEM resident.
+    # Lane order: [q | k | v | self_out | cross_q | cross_out].
+    scale = HD ** -0.5
+    wbig = jnp.concatenate([
+        dense_w('self_attn', 'q_proj') * scale,
+        dense_w('self_attn', 'k_proj'),
+        dense_w('self_attn', 'v_proj'),
+        dense_w('self_attn', 'out_proj'),
+        dense_w('multihead_attn', 'q_proj') * scale,
+        dense_w('multihead_attn', 'out_proj'),
+    ], axis=2)
+    bbig = jnp.concatenate([
+        dense_b('self_attn', 'q_proj') * scale,
+        dense_b('self_attn', 'k_proj'),
+        dense_b('self_attn', 'v_proj'),
+        dense_b('self_attn', 'out_proj'),
+        dense_b('multihead_attn', 'q_proj') * scale,
+        dense_b('multihead_attn', 'out_proj'),
+    ], axis=1)
+    # cross-q bias pad lane E := 1.0 so q2r picks up the mask riding the
+    # memory keys' pad lane E (rot/cos there is identity: prepare_rots)
+    bbig = bbig.at[:, 4 * EP + E].set(1.0)
+    out = {
+        'wbig': wbig,
+        'bbig': bbig,
+        'ln_w': pad_e(jnp.stack([jnp.stack([
+            p[f'decoders.{l}.norm{i}.weight'].astype(jnp.float32)
+            for i in (1, 2, 3)]) for l in range(L)]), 2),
+        'ln_b': pad_e(jnp.stack([jnp.stack([
+            p[f'decoders.{l}.norm{i}.bias'].astype(jnp.float32)
+            for i in (1, 2, 3)]) for l in range(L)]), 2),
+        'ff1': pad_e(jnp.stack([p[f'decoders.{l}.linear1.weight']
+                                for l in range(L)]).astype(jnp.bfloat16), 1),
+        'ffb1': jnp.stack([p[f'decoders.{l}.linear1.bias']
+                           for l in range(L)]).astype(jnp.float32),
+        'ff2': pad_e(jnp.stack([p[f'decoders.{l}.linear2.weight']
+                                for l in range(L)]).astype(jnp.bfloat16), 2),
+        'ffb2': pad_e(jnp.stack([p[f'decoders.{l}.linear2.bias']
+                                 for l in range(L)]).astype(jnp.float32), 1),
+        'jmat': jnp.asarray(_pair_swap_matrix(), jnp.bfloat16),
+        'seg': jnp.asarray(_segment_matrix(), jnp.bfloat16),
+        'segv': jnp.asarray(_value_segment_matrix(), jnp.bfloat16),
+    }
+    return out
+
+
+def prepare_rots(xpos_tables: dict, n_heads: int) -> jax.Array:
+    """(S, 6, EP) per-step rotation rows from models.ocr48.xpos_step_tables
+    output. Pad lanes: sin = 0, cos = 1 (identity rotation) so the mask
+    value riding pad lane E survives the cross-q rotation."""
+    rows = []
+    for name in ('self_q', 'self_k', 'cross_q'):
+        sin, cos = xpos_tables[name]
+        rows.append(pad_e(jnp.tile(sin, (1, n_heads)), value=0.0))
+        rows.append(pad_e(jnp.tile(cos, (1, n_heads)), value=1.0))
+    # order: sq_sin, sq_cos, sk_sin, sk_cos, cq_sin, cq_cos
+    return jnp.stack(rows, axis=1).astype(jnp.float32)
+
+
+def prepare_mem(mem_k: jax.Array, mem_v: jax.Array,
+                memory_mask: jax.Array, m_pad: int = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Reference-layout (L, N, H, M, hd) prerotated memory K/V →
+    kernel-layout (L, M_pad, N, EP) bf16, with the additive length mask
+    (True = masked, shape (N, M_pad)) written into mem_k's pad lane E.
+    ``m_pad`` rounds the memory length up to a CH multiple (the extra
+    rows are zero + masked)."""
+    l, n, h, m, hd = mem_k.shape
+    m_pad = m if m_pad is None else m_pad
+    mk = pad_e(jnp.transpose(mem_k, (0, 3, 1, 2, 4)).reshape(l, m, n, E)
+               .astype(jnp.bfloat16))
+    mv = pad_e(jnp.transpose(mem_v, (0, 3, 1, 2, 4)).reshape(l, m, n, E)
+               .astype(jnp.bfloat16))
+    if m_pad != m:
+        padrows = [(0, 0), (0, m_pad - m), (0, 0), (0, 0)]
+        mk = jnp.pad(mk, padrows)
+        mv = jnp.pad(mv, padrows)
+    maskval = jnp.where(memory_mask.T, NEG, 0.0).astype(jnp.bfloat16)
+    mk = mk.at[:, :, :, E].set(maskval[None])
+    return mk, mv

@@ -8,6 +8,7 @@ round-trip.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -86,3 +87,91 @@ def warp_quads_batch(img: jax.Array, Hs: jax.Array, out_hw: Tuple[int, int]
     Returns (N, out_h, out_w, C) crops.
     """
     return jax.vmap(lambda H: warp_perspective(img, H, out_hw))(Hs)
+
+
+# -- OCR crop planning --------------------------------------------------------
+#
+# Host-side mirrors of Quadrilateral.get_transformed_region
+# (utils/geometry.py:292) and TextBlock.get_transformed_region
+# (utils/textblock.py:232): same integer quantization, same output
+# dimensions, but instead of a cv2 warp they produce an output→source
+# homography over FULL-page coordinates. The vertical-text CCW rotation is
+# folded into the correspondence order (output always reads left→right at
+# ``textheight`` rows), so the device never materializes the unrotated
+# intermediate. Semantics note: the reference zero-pads outside the
+# *clipped* quad bbox; every source coordinate inside the quad is either
+# inside that bbox or outside the image, so zero-padding outside the image
+# (bilinear_sample) is equivalent.
+
+_DEGENERATE_H = np.array([[0.0, 0.0, -10.0],
+                          [0.0, 0.0, -10.0],
+                          [0.0, 0.0, 1.0]])
+
+
+def _plan_homography(src: np.ndarray, direction: str, w: int,
+                     textheight: int) -> np.ndarray:
+    """(tl,tr,br,bl) int page coords → output→page H for a (textheight, w)
+    left-to-right crop. For vertical lines the CCW rotation of the
+    rectified region is folded into the correspondence order: out-corners
+    (tl,tr,br,bl) ↦ quad (tr,br,bl,tl)."""
+    order = (0, 1, 2, 3) if direction == 'h' else (1, 2, 3, 0)
+    return homography_from_quad(src[list(order)].astype(np.float64),
+                                w, textheight)
+
+
+def crop_plan_quad(quad, direction: str, textheight: int
+                   ) -> Tuple[int, np.ndarray]:
+    """Plan a device crop for a Quadrilateral textline. Returns
+    (out_width, H) for an output of (textheight, out_width); H maps output
+    coords to page coords (pull warp)."""
+    v1, v2 = quad._axes()
+    n1, n2 = np.linalg.norm(v1), np.linalg.norm(v2)
+    if n1 <= 1e-6 or n2 <= 1e-6:
+        return max(int(textheight), 2), _DEGENERATE_H
+    ratio = n1 / n2
+    # match geometry.get_transformed_region's max(..., 2) floors
+    if direction == 'h':
+        w = max(int(round(textheight / ratio)), 2)
+    else:
+        w = max(int(round(textheight * ratio)), 2)
+    quad.assigned_direction = direction
+    return w, _plan_homography(quad.pts.astype(np.int64), direction, w,
+                               textheight)
+
+
+def crop_plan_textblock(blk, line_idx: int, textheight: int
+                        ) -> Tuple[int, np.ndarray]:
+    """Plan a device crop for one line of a TextBlock (direction from
+    blk.src_is_vertical, ratio from midpoint norms)."""
+    line = np.round(np.array(blk.lines[line_idx])).astype(np.int64)
+    direction = 'v' if blk.src_is_vertical else 'h'
+    mid = (line[[1, 2, 3, 0]] + line) / 2
+    norm_v = np.linalg.norm(mid[2] - mid[0])
+    norm_h = np.linalg.norm(mid[1] - mid[3])
+    if norm_v <= 0 or norm_h <= 0:
+        return max(int(textheight), 2), _DEGENERATE_H
+    ratio = norm_v / norm_h
+    if direction == 'h':
+        w = int(round(textheight / ratio))
+    else:
+        w = int(round(textheight * ratio))
+    w = max(w, 2)
+    return w, _plan_homography(line, direction, w, textheight)
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))
+def crop_batch(img: jax.Array, Hs: jax.Array, valid_w: jax.Array,
+               out_h: int, out_w: int) -> jax.Array:
+    """N rectified OCR crops in one device program.
+
+    Args:
+      img: (H, W, 3) uint8 page (device-resident).
+      Hs: (N, 3, 3) output→page homographies.
+      valid_w: (N,) int32 — columns ≥ valid_w[i] are padding.
+    Returns (N, out_h, out_w, 3) float32, /127.5-1 normalized (padding
+    becomes -1.0, matching the host path's zero-pad-then-normalize).
+    """
+    crops = warp_quads_batch(img, Hs, (out_h, out_w))
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, out_w, 1), 2)
+    crops = jnp.where(xs < valid_w[:, None, None, None], crops, 0.0)
+    return crops / 127.5 - 1.0

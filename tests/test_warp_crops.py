@@ -1,0 +1,101 @@
+"""Device-batched OCR crops (ops/warp crop_plan_* + crop_batch) vs the
+host cv2 path (Quadrilateral/TextBlock.get_transformed_region)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from manga_image_translator_tpu.ops import warp
+from manga_image_translator_tpu.utils.geometry import Quadrilateral
+from manga_image_translator_tpu.utils.textblock import TextBlock
+
+TH = 48
+
+
+def _page(h=400, w=600, seed=0):
+    rs = np.random.RandomState(seed)
+    # smooth image: low-freq gradient + mild noise so interpolation
+    # differences stay sub-pixel-scale
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 0.3 + yy * 0.2) % 256
+    img = np.stack([base, 255 - base, (xx * 0.1) % 256], -1)
+    img += rs.randn(h, w, 3) * 3
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _compare(img, quad, direction):
+    host = quad.get_transformed_region(img, direction, TH)
+    w, H = warp.crop_plan_quad(quad, direction, TH)
+    assert host.shape == (TH, w, 3), (host.shape, w)
+    dev = np.asarray(warp.crop_batch(
+        jnp.asarray(img), jnp.asarray(H[None]),
+        jnp.asarray([w], np.int32), out_h=TH, out_w=w))[0]
+    dev_u8 = (dev + 1.0) * 127.5
+    diff = np.abs(dev_u8 - host.astype(np.float32))
+    # interiors must agree closely; borders differ by one-pixel padding
+    # semantics so compare the central region
+    inner = diff[2:-2, 2:-2]
+    assert inner.mean() < 3.0, inner.mean()
+    return host, dev_u8
+
+
+def test_horizontal_axis_aligned():
+    img = _page()
+    quad = Quadrilateral(np.array([[50, 100], [350, 100],
+                                   [350, 160], [50, 160]]), '', 0.9)
+    _compare(img, quad, 'h')
+
+
+def test_rotated_quad():
+    img = _page()
+    c, s = np.cos(0.2), np.sin(0.2)
+    R = np.array([[c, -s], [s, c]])
+    base = np.array([[-120, -25], [120, -25], [120, 25], [-120, 25]])
+    pts = (base @ R.T + np.array([300, 200])).astype(np.float64)
+    quad = Quadrilateral(pts, '', 0.9)
+    _compare(img, quad, 'h')
+
+
+def test_vertical_rotation_semantics():
+    """Vertical crops must equal the host's rectify-then-rotate-CCW."""
+    img = _page()
+    quad = Quadrilateral(np.array([[200, 40], [260, 40],
+                                   [260, 340], [200, 340]]), '', 0.9)
+    host, dev = _compare(img, quad, 'v')
+    assert host.shape[0] == TH and host.shape[1] > TH
+
+
+def test_quad_partially_outside_page():
+    img = _page()
+    quad = Quadrilateral(np.array([[-30, 100], [200, 100],
+                                   [200, 150], [-30, 150]]), '', 0.9)
+    host, dev = _compare(img, quad, 'h')
+    # out-of-page area is zero-padded on both paths
+    assert host[:, :4].mean() < 5
+    assert dev[:, :4].mean() < 5
+
+
+def test_textblock_line_plan():
+    img = _page()
+    lines = [np.array([[60, 60], [300, 60], [300, 110], [60, 110]])]
+    blk = TextBlock(lines=[l.tolist() for l in lines])
+    blk.src_is_vertical = False
+    host = blk.get_transformed_region(img, 0, TH)
+    w, H = warp.crop_plan_textblock(blk, 0, TH)
+    assert host.shape == (TH, w, 3)
+    dev = np.asarray(warp.crop_batch(
+        jnp.asarray(img), jnp.asarray(H[None]),
+        jnp.asarray([w], np.int32), out_h=TH, out_w=w))[0]
+    dev_u8 = (dev + 1.0) * 127.5
+    assert np.abs(dev_u8[2:-2, 2:-2]
+                  - host[2:-2, 2:-2].astype(np.float32)).mean() < 3.0
+
+
+def test_degenerate_quad_is_blank():
+    img = _page()
+    quad = Quadrilateral(np.array([[10, 10], [10, 10],
+                                   [10, 10], [10, 10]]), '', 0.9)
+    w, H = warp.crop_plan_quad(quad, 'h', TH)
+    dev = np.asarray(warp.crop_batch(
+        jnp.asarray(img), jnp.asarray(H[None]),
+        jnp.asarray([w], np.int32), out_h=TH, out_w=w))[0]
+    assert np.allclose(dev, -1.0)
