@@ -114,7 +114,8 @@ def _bf16(params):
 def bench_detection():
     from manga_image_translator_tpu.detection.db_postprocess import DBPostprocess
     from manga_image_translator_tpu.models.dbnet import dbnet_forward, init_params
-    from manga_image_translator_tpu.ops.bilateral import bilateral_filter
+    from manga_image_translator_tpu.ops.bilateral import (
+        bilateral_filter_batch)
 
     params = _bf16(init_params(jax.random.PRNGKey(0)))
     rs = np.random.RandomState(0)
@@ -123,8 +124,7 @@ def bench_detection():
         rs.randint(0, 255, (n_batch, PAGE, PAGE, 3), dtype=np.uint8))
 
     def run(pages):
-        smoothed = jax.vmap(
-            lambda p: bilateral_filter(p, 17, 80.0, 80.0))(pages)
+        smoothed = bilateral_filter_batch(pages, 17, 80.0, 80.0)
         x = smoothed.astype(jnp.bfloat16) / 127.5 - 1.0
         db, mask = dbnet_forward(params, x)
         prob = jax.nn.sigmoid(db[..., 0].astype(jnp.float32))

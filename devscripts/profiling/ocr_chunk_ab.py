@@ -32,9 +32,13 @@ def main():
     widths = jnp.asarray([W] * N, np.int32)
 
     def run():
+        # max_finished_hypos > beams_k: random weights would otherwise
+        # hit END on step 1 and early-exit — force the full max_len run
         ret = ocr48.beam_decode(params, images, widths, beams_k=5,
-                                max_len=MAX_LEN)
-        jax.block_until_ready(ret['sequences'])
+                                max_len=MAX_LEN, max_finished_hypos=99)
+        # force the computation with a scalar pull — block_until_ready on
+        # tunnel-remote buffers returns before the compute finishes
+        float(jnp.sum(ret['sequences']))
         return ret
 
     run()  # compile

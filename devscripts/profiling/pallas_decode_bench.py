@@ -83,14 +83,15 @@ def main():
             self_k, self_v, s = carry
             tok = jnp.full((N,), 5, jnp.int32)
             tgt = pd.pad_e(embd[tok].astype(jnp.bfloat16))
-            out, k_new, v_new = pd.decode_step_pallas(
+            out, k_new, v_new, logits = pd.decode_step_pallas(
                 step, tgt, rots[step], weights, self_k, self_v,
-                mem_k, mem_v, n=N, s_len=S, m_len=M)
+                mem_k, mem_v, n=N, s_len=S, m_len=M, vp=8064)
             self_k = jax.lax.dynamic_update_slice(
                 self_k, k_new[:, None], (0, step, 0, 0))
             self_v = jax.lax.dynamic_update_slice(
                 self_v, v_new[:, None], (0, step, 0, 0))
-            return self_k, self_v, s + out.astype(jnp.float32).sum()
+            return self_k, self_v, (s + out.astype(jnp.float32).sum()
+                                    + logits.sum() * 0)
         _, _, s = jax.lax.fori_loop(0, STEPS, body,
                                     (self_k, self_v, jnp.float32(0)))
         return s

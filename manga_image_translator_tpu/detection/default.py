@@ -26,7 +26,7 @@ from ..models.dbnet import (
     init_params,
 )
 from ..models.torch_loader import convert_state_dict
-from ..ops.bilateral import bilateral_filter
+from ..ops.bilateral import bilateral_filter, bilateral_filter_batch
 from ..ops.tiling import extract_squares, needs_tiling, plan_tiles, stitch_maps
 from ..utils.geometry import Quadrilateral
 from .common import OfflineDetector
@@ -60,7 +60,7 @@ def _preprocess_page(img: jax.Array, out_h: int, out_w: int,
 @jax.jit
 def _preprocess_batch(imgs: jax.Array) -> jax.Array:
     """Batched bilateral prefilter (pages already letterboxed on host)."""
-    return jax.vmap(lambda im: bilateral_filter(im, 17, 80.0, 80.0))(imgs)
+    return bilateral_filter_batch(imgs, 17, 80.0, 80.0)
 
 
 class DefaultDetector(OfflineDetector):

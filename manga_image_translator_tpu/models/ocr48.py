@@ -652,6 +652,12 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
     weights = pd.prepare_decode_weights(params)
     rots_tab = pd.prepare_rots(xpos_step_tables(max_len), N_HEADS)
     embd_p = pd.pad_e(params['embd.weight'].astype(jnp.bfloat16))
+    # In-kernel char head measured SLOWER (59.3 vs 53.6 ms/chunk on v5e:
+    # XLA's one (E,V) matmul beats chunked DMA'd matmuls) — opt-in only.
+    kernel_charhead = (os.environ.get('MIT_TPU_OCR_KERNEL_CHARHEAD', '0')
+                       == '1')
+    vocab = params['embd.weight'].shape[0]
+    vp = -(-vocab // 128) * 128 if kernel_charhead else 0
     wout = params['embd.weight'].T
 
     def init(memory_b, nk, mask_b):
@@ -670,13 +676,16 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
             out=jnp.zeros((nk, max_len, EMBD_DIM), dtype))
 
     def dstep(caches, tok, step, mask_b):
+        """Returns the per-step char LOGITS (computed in-kernel — the
+        char head is part of the fused launch); the last-layer outputs
+        feed the color-head cache inside."""
         nk = caches.out.shape[0]
         m_pad = caches.mem_k.shape[1]
         tgt = embd_p[tok]
-        out, k_new, v_new = pd.decode_step_pallas(
+        out, k_new, v_new, logits = pd.decode_step_pallas(
             step, tgt, rots_tab[step], weights,
             caches.self_k, caches.self_v, caches.mem_k, caches.mem_v,
-            n=nk, s_len=s_pad, m_len=m_pad, interpret=interpret)
+            n=nk, s_len=s_pad, m_len=m_pad, vp=vp, interpret=interpret)
         self_k = jax.lax.dynamic_update_slice(
             caches.self_k, k_new[:, None], (0, step, 0, 0))
         self_v = jax.lax.dynamic_update_slice(
@@ -684,14 +693,29 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
         out_e = out[:, :EMBD_DIM].astype(dtype)
         outc = jax.lax.dynamic_update_slice(
             caches.out, out_e[:, None], (0, step, 0))
-        return out_e, caches._replace(self_k=self_k, self_v=self_v,
-                                      out=outc)
+        new_caches = caches._replace(self_k=self_k, self_v=self_v,
+                                     out=outc)
+        if kernel_charhead:
+            return logits, new_caches
+        return out_e, new_caches
+
+    def topk_from_logits(logits, k):
+        vals, idx = jax.lax.top_k(logits, k)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        return vals - lse[:, None], idx
+
+    if kernel_charhead:
+        char_lp = lambda logits: jax.nn.log_softmax(logits, axis=-1)
+        char_tk = topk_from_logits
+    else:
+        char_lp = lambda dec: char_logprobs(params, dec, wout)
+        char_tk = lambda dec, k: char_topk(params, dec, k, wout)
 
     return BeamHarness(
         init_caches=init,
         decode_step=dstep,
-        char_logprobs=lambda dec: char_logprobs(params, dec, wout),
-        char_topk=lambda dec, k: char_topk(params, dec, k, wout),
+        char_logprobs=char_lp,
+        char_topk=char_tk,
         cache_gather=lambda caches, idx: caches._replace(
             self_k=caches.self_k[:, :, idx],
             self_v=caches.self_v[:, :, idx],

@@ -36,6 +36,9 @@ WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
 # Reference decodes up to 255 tokens (model_48px.py:120); overridable so
 # CPU test environments can bound the sequential decode work.
 MAX_SEQ_LEN = int(__import__('os').environ.get('MIT_TPU_OCR_MAX_LEN', 255))
+# First-pass decode budget (_two_tier_decode): crops whose text doesn't
+# terminate within this many tokens are re-decoded at MAX_SEQ_LEN.
+FAST_SEQ_LEN = int(__import__('os').environ.get('MIT_TPU_OCR_FAST_LEN', 64))
 BEAMS = 5
 
 
@@ -164,9 +167,7 @@ class Model48pxOCR(OfflineOCR):
                     ix += 1
                 images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
 
-            ret = ocr48.beam_decode(self.params, images,
-                                    jnp.asarray(valid_widths),
-                                    beams_k=BEAMS, max_len=MAX_SEQ_LEN)
+            ret = self._two_tier_decode(images, jnp.asarray(valid_widths))
             sequences = np.asarray(ret['sequences'])
             probs = np.asarray(ret['probs'])
             fg = np.asarray(ret['fg'], np.float32)
@@ -201,6 +202,45 @@ class Model48pxOCR(OfflineOCR):
         if is_quadrilaterals:
             return out_regions
         return textlines
+
+    def _two_tier_decode(self, images, valid_widths):
+        """Beam decode with a short first pass.
+
+        Almost all manga textlines fit FAST_SEQ_LEN tokens; decoding at
+        the full MAX_SEQ_LEN (255, reference model_48px.py:120) makes the
+        KV caches and the per-step streamed attention ~4x larger. So:
+        decode at FAST_SEQ_LEN first and re-decode the (rare) crops whose
+        best sequence never produced </S> with the full-length graph —
+        outputs are identical to a single MAX_SEQ_LEN pass for every
+        sequence that terminates within the short budget.
+        """
+        fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
+        ret = ocr48.beam_decode(self.params, images, valid_widths,
+                                beams_k=BEAMS, max_len=fast)
+        if fast >= MAX_SEQ_LEN:
+            return ret
+        seqs = np.asarray(ret['sequences'])
+        unfinished = ~(seqs == ocr48.END_TOK).any(axis=1)
+        # padded all-zero batch rows decode to </S> immediately
+        if not unfinished.any():
+            return ret
+        self.logger.info(f'{int(unfinished.sum())} lines exceeded '
+                         f'{fast} tokens — re-decoding at {MAX_SEQ_LEN}')
+        full = ocr48.beam_decode(self.params, images, valid_widths,
+                                 beams_k=BEAMS, max_len=MAX_SEQ_LEN)
+        out = {}
+        for key in ret:
+            a = np.asarray(ret[key])
+            b = np.asarray(full[key])
+            # time axes differ (fast vs MAX_SEQ_LEN) — pad fast result
+            if a.ndim >= 2 and a.shape[1] != b.shape[1]:
+                pad = [(0, 0)] * a.ndim
+                pad[1] = (0, b.shape[1] - a.shape[1])
+                fill = ocr48.END_TOK if key == 'sequences' else 0
+                a = np.pad(a, pad, constant_values=fill)
+            a[unfinished] = b[unfinished]
+            out[key] = a
+        return out
 
     def _dump_crop(self, crop: np.ndarray, direction: str, index: int):
         """Debug crop dump (reference model_48px.py:90-113; directory

@@ -1,4 +1,3 @@
-from .components import label_components_device, label_components_host
 from .crf import crf_refine, crf_refine_batch
 from .image import (
     gamma_correct,

@@ -9,16 +9,57 @@ the elementwise work fused with the rest of the detection preamble.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('d', 'sigma_color', 'sigma_space'))
+def _use_pallas() -> bool:
+    """Pallas VMEM-tiled kernel on TPU (measured 14.6 vs 21.9 ms @1536² on
+    v5e, interior bit-identical); XLA roll-loop elsewhere.
+    MIT_TPU_BILATERAL=xla|pallas overrides."""
+    env = os.environ.get('MIT_TPU_BILATERAL', 'auto')
+    if env == 'xla':
+        return False
+    if env == 'pallas':
+        return True
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:       # pragma: no cover - backend probe failure
+        return False
+
+
 def bilateral_filter(img: jax.Array, d: int = 17, sigma_color: float = 80.0,
                      sigma_space: float = 80.0) -> jax.Array:
+    if _use_pallas():
+        from .pallas_bilateral import bilateral_filter_pallas
+        return bilateral_filter_pallas(img, d, sigma_color, sigma_space)
+    return bilateral_filter_xla(img, d, sigma_color, sigma_space)
+
+
+def bilateral_filter_batch(imgs: jax.Array, d: int = 17,
+                           sigma_color: float = 80.0,
+                           sigma_space: float = 80.0) -> jax.Array:
+    """(N, H, W, C) batch. The Pallas kernel's manual halo DMA has no vmap
+    batching rule, so the batch runs as a sequential on-device map (the
+    kernel already saturates HBM bandwidth — batching adds nothing)."""
+    if _use_pallas():
+        from .pallas_bilateral import bilateral_filter_pallas
+        return jax.lax.map(
+            lambda im: bilateral_filter_pallas(im, d, sigma_color,
+                                               sigma_space), imgs)
+    return jax.vmap(
+        lambda im: bilateral_filter_xla(im, d, sigma_color, sigma_space)
+    )(imgs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('d', 'sigma_color', 'sigma_space'))
+def bilateral_filter_xla(img: jax.Array, d: int = 17,
+                         sigma_color: float = 80.0,
+                         sigma_space: float = 80.0) -> jax.Array:
     """Edge-preserving smoothing of an (H, W, C) image.
 
     Matches cv2.bilateralFilter semantics: window diameter ``d``, gaussian

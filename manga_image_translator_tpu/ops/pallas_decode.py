@@ -118,15 +118,31 @@ def _mm(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _erf(x):
+    """f32 erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7):
+    Mosaic has no erf primitive."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
                    lnb_ref, ffb1_ref, ffb2_ref, jmat_ref, seg_ref,
-                   segv_ref,
+                   segv_ref, wpred1_ref, bpred1_ref, bout_ref,
                    selfk_hbm, selfv_hbm, memk_hbm, memv_hbm,
-                   wbig_hbm, ff1_hbm, ff2_hbm,
-                   out_ref, knew_ref, vnew_ref,
-                   kbuf, vbuf, wbuf, ff1buf, ff2buf,
-                   ksem, vsem, wsem, ffsem,
-                   *, n: int, s_len: int, m_len: int):
+                   wbig_hbm, ff1_hbm, ff2_hbm, *rest,
+                   n: int, s_len: int, m_len: int, vp: int, vch: int):
+    if vp:
+        (wout_hbm, out_ref, knew_ref, vnew_ref, logits_ref,
+         kbuf, vbuf, wbuf, ff1buf, ff2buf, pbuf,
+         ksem, vsem, wsem, ffsem, psem) = rest
+    else:
+        (out_ref, knew_ref, vnew_ref,
+         kbuf, vbuf, wbuf, ff1buf, ff2buf,
+         ksem, vsem, wsem, ffsem) = rest
     step = step_ref[0, 0]
     jmat = jmat_ref[:]
     seg = seg_ref[:]          # (EP, H) score-sum (incl. mask row E)
@@ -158,6 +174,11 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
     def dma_w(l, slot):
         return pltpu.make_async_copy(wbig_hbm.at[l], wbuf.at[slot],
                                      wsem.at[slot])
+
+    def dma_p(v, slot):
+        return pltpu.make_async_copy(wout_hbm.at[:, pl.ds(v * vch, vch)],
+                                     pbuf.at[slot], psem.at[slot])
+
 
     tgt = tgt_ref[:]
 
@@ -280,13 +301,46 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
 
     out_ref[:] = tgt
 
+    if not vp:
+        return
+    # ---- char head: h = gelu(pred1 @ tgt), logits = h @ embd.T + bias —
+    # vocab matrix streamed in vch-lane chunks; rounding matches the XLA
+    # path (bf16 matmul results, f32 bias add). MEASURED SLOWER than the
+    # XLA char head on v5e (59.3 vs 53.6 ms per forced-64-step chunk —
+    # the one big (E,V) matmul beats 7 chunked DMA'd matmuls), so the
+    # harness enables this only via MIT_TPU_OCR_KERNEL_CHARHEAD=1.
+    h_pre = (_mm(tgt, wpred1_ref[:]).astype(jnp.bfloat16)
+             + bpred1_ref[0:1, :]).astype(jnp.float32)
+    # exact-gelu via erf; Mosaic has no erf/erfc lowering, so use the
+    # Abramowitz-Stegun 7.1.26 rational approximation (<=1.5e-7 absolute
+    # error — invisible under the bf16 cast that follows)
+    h = (0.5 * h_pre
+         * (1.0 + _erf(h_pre * (2 ** -0.5)))).astype(jnp.bfloat16)
+    n_vch = vp // vch
+    dma_p(0, 0).start()
+    for v in range(n_vch):
+        if v + 1 < n_vch:
+            dma_p(v + 1, (v + 1) % 2).start()
+        dma_p(v, v % 2).wait()
+        chunk = _mm(h, pbuf[v % 2]).astype(jnp.bfloat16)
+        logits_ref[:, v * vch:(v + 1) * vch] = (
+            chunk.astype(jnp.float32) + bout_ref[0:1, v * vch:(v + 1) * vch])
 
-@functools.partial(jax.jit, static_argnames=('n', 's_len', 'm_len',
+
+def _vocab_chunk(vp: int) -> int:
+    for cand in (1152, 1024, 896, 768, 640, 512, 384, 256, 128):
+        if vp % cand == 0:
+            return cand
+    raise ValueError(f'vocab pad {vp} not a multiple of 128')
+
+
+@functools.partial(jax.jit, static_argnames=('n', 's_len', 'm_len', 'vp',
                                              'interpret'))
 def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
                        mem_k, mem_v, n: int, s_len: int,
-                       m_len: int, interpret: bool = False
-                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                       m_len: int, vp: int, interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                  jax.Array]:
     """One fused decoder step.
 
     Args:
@@ -299,40 +353,50 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         mem_k lane E carries the additive length mask).
     Returns (tgt_out (N,EP), k_new (L,N,EP), v_new (L,N,EP)).
     """
+    vch = _vocab_chunk(vp) if vp else 0
     kernel = functools.partial(_decode_kernel, n=n, s_len=s_len,
-                               m_len=m_len)
+                               m_len=m_len, vp=vp, vch=vch)
     vm = pltpu.VMEM
-    return pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((n, EP), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
+    ]
+    scratch = [
+        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # k chunks
+        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # v chunks
+        pltpu.VMEM((2, EP, 6 * EP), jnp.bfloat16),    # dense-pack x2
+        pltpu.VMEM((EP, FF), jnp.bfloat16),           # ff1
+        pltpu.VMEM((FF, EP), jnp.bfloat16),           # ff2
+    ]
+    sems = [pltpu.SemaphoreType.DMA((2,))] * 4
+    args = [jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, rots,
+            weights['bbig'], weights['ln_w'], weights['ln_b'],
+            weights['ffb1'], weights['ffb2'], weights['jmat'],
+            weights['seg'], weights['segv'], weights['wpred1'],
+            weights['bpred1'], weights['bout'],
+            self_k, self_v, mem_k, mem_v,
+            weights['wbig'], weights['ff1'], weights['ff2']]
+    n_any = 7
+    if vp:
+        out_shape.append(jax.ShapeDtypeStruct((n, vp), jnp.float32))
+        scratch.append(pltpu.VMEM((2, EP, vch), jnp.bfloat16))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+        args.append(weights['wout'])
+        n_any = 8
+    res = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # step
-        ] + [pl.BlockSpec(memory_space=vm)] * 10
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
-        out_specs=[pl.BlockSpec(memory_space=vm)] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((n, EP), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # k chunks
-            pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # v chunks
-            pltpu.VMEM((2, EP, 6 * EP), jnp.bfloat16),    # dense-pack x2
-            pltpu.VMEM((EP, FF), jnp.bfloat16),           # ff1
-            pltpu.VMEM((FF, EP), jnp.bfloat16),           # ff2
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + [pl.BlockSpec(memory_space=vm)] * 13
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
+        out_specs=[pl.BlockSpec(memory_space=vm)] * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=scratch + sems,
         interpret=interpret,
-    )(jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, rots,
-      weights['bbig'], weights['ln_w'], weights['ln_b'],
-      weights['ffb1'], weights['ffb2'], weights['jmat'], weights['seg'],
-      weights['segv'],
-      self_k, self_v, mem_k, mem_v,
-      weights['wbig'], weights['ff1'], weights['ff2'])
+    )(*args)
+    return tuple(res) if vp else tuple(res) + (None,)
 
 
 def prepare_decode_weights(params: Dict) -> Dict[str, jax.Array]:
@@ -399,6 +463,22 @@ def prepare_decode_weights(params: Dict) -> Dict[str, jax.Array]:
         'seg': jnp.asarray(_segment_matrix(), jnp.bfloat16),
         'segv': jnp.asarray(_value_segment_matrix(), jnp.bfloat16),
     }
+    # char head: logits = gelu(out @ pred1) @ embd.T + pred.bias, vocab
+    # lane-padded to a 128 multiple with -1e9 bias so top-k never selects
+    # the pad entries
+    embd = p['embd.weight']                      # (V, E)
+    v = embd.shape[0]
+    vp = -(-v // 128) * 128
+    wout = pad_e(embd.T.astype(jnp.bfloat16), 0)          # (EP, V)
+    wout = jnp.pad(wout, ((0, 0), (0, vp - v)))
+    bout = jnp.pad(p['pred.bias'].astype(jnp.float32), (0, vp - v),
+                   constant_values=NEG).reshape(1, vp)
+    out['wout'] = wout
+    out['bout'] = bout
+    out['wpred1'] = pad_e(pad_e(
+        p['pred1.0.weight'].astype(jnp.bfloat16), 0), 1)
+    out['bpred1'] = pad_e(p['pred1.0.bias'].astype(jnp.bfloat16)
+                          ).reshape(1, EP)
     return out
 
 

@@ -68,3 +68,76 @@ def test_ocr_dispatch_smoke(key):
                                      [20, 50]]), '', 1.0)]
     result = asyncio.run(dispatch(Ocr(key), img, quads, device='cpu'))
     assert isinstance(result, list)
+
+
+class TestTwoTierDecode:
+    """_two_tier_decode merges full-length re-decodes into the fast pass."""
+
+    def _model(self):
+        from manga_image_translator_tpu.ocr.model_48px import Model48pxOCR
+        m = Model48pxOCR.__new__(Model48pxOCR)
+        m.params = {}
+        import logging
+        m.logger = logging.getLogger('test')
+        return m
+
+    def test_all_finished_returns_fast(self, monkeypatch):
+        from manga_image_translator_tpu.ocr import model_48px as mod
+        from manga_image_translator_tpu.models import ocr48
+        calls = []
+
+        def fake_beam(params, images, widths, beams_k, max_len):
+            calls.append(max_len)
+            seqs = np.full((2, max_len), ocr48.END_TOK)
+            return {'sequences': seqs, 'probs': np.ones((2,)),
+                    'fg': np.zeros((2, max_len, 3)),
+                    'bg': np.zeros((2, max_len, 3)),
+                    'fg_ind': np.zeros((2, max_len, 2)),
+                    'bg_ind': np.zeros((2, max_len, 2))}
+
+        monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
+        monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
+        monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+        m = self._model()
+        ret = m._two_tier_decode(np.zeros((2, 48, 64, 3)),
+                                 np.array([64, 64]))
+        assert calls == [8]
+        assert np.asarray(ret['sequences']).shape[1] == 8
+
+    def test_unfinished_rows_take_full_decode(self, monkeypatch):
+        from manga_image_translator_tpu.ocr import model_48px as mod
+        from manga_image_translator_tpu.models import ocr48
+        calls = []
+
+        def fake_beam(params, images, widths, beams_k, max_len):
+            calls.append(max_len)
+            n = 2
+            seqs = np.full((n, max_len), 7)       # no END anywhere
+            if max_len == 8:
+                seqs[0, 3] = ocr48.END_TOK        # row 0 finishes fast
+            else:
+                seqs[:, 20] = ocr48.END_TOK
+            return {'sequences': seqs,
+                    'probs': np.full((n,), 0.5 if max_len == 8 else 0.9),
+                    'fg': np.full((n, max_len, 3), max_len, float),
+                    'bg': np.zeros((n, max_len, 3)),
+                    'fg_ind': np.zeros((n, max_len, 2)),
+                    'bg_ind': np.zeros((n, max_len, 2))}
+
+        monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
+        monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
+        monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+        m = self._model()
+        ret = m._two_tier_decode(np.zeros((2, 48, 64, 3)),
+                                 np.array([64, 64]))
+        assert calls == [8, 255]
+        seqs = np.asarray(ret['sequences'])
+        assert seqs.shape == (2, 255)
+        # row 0 keeps the fast result (padded with END)
+        assert seqs[0, 3] == ocr48.END_TOK and seqs[0, 10] == ocr48.END_TOK
+        # row 1 replaced by the full decode
+        assert seqs[1, 20] == ocr48.END_TOK and seqs[1, 0] == 7
+        assert float(ret['probs'][0]) == 0.5
+        assert float(ret['probs'][1]) == 0.9
+        assert float(np.asarray(ret['fg'])[0, 0, 0]) == 8
+        assert float(np.asarray(ret['fg'])[1, 0, 0]) == 255

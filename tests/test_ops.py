@@ -38,33 +38,6 @@ class TestMorphology:
         assert abs(out.mean() - img.mean()) < 0.02
 
 
-class TestComponents:
-    def test_device_labels_match_cv2_count(self):
-        mask = np.zeros((48, 48), np.float32)
-        mask[2:10, 2:10] = 1
-        mask[20:30, 20:26] = 1
-        mask[40:44, 5:45] = 1
-        labels = np.asarray(ops.label_components_device(jnp.asarray(mask)))
-        ids = np.unique(labels[labels >= 0])
-        num, ref_labels, _, _ = ops.label_components_host(mask)
-        assert len(ids) == num - 1  # cv2 counts background
-        # components partition identically
-        for i in ids:
-            ours = labels == i
-            ref_id = ref_labels[ours].flat[0]
-            np.testing.assert_array_equal(ours, ref_labels == ref_id)
-
-    def test_snake_component(self):
-        # long winding component exercises the run-scan propagation
-        mask = np.zeros((40, 40), np.float32)
-        mask[0, :] = 1
-        mask[:, -1] = 1
-        mask[-1, :] = 1
-        labels = np.asarray(ops.label_components_device(jnp.asarray(mask)))
-        ids = np.unique(labels[labels >= 0])
-        assert len(ids) == 1
-
-
 class TestTiling:
     def test_no_tiling_for_normal_page(self):
         assert not ops.needs_tiling(1500, 1000, 1024)

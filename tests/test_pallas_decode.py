@@ -40,9 +40,10 @@ def test_pallas_decode_matches_reference():
                                             jnp.int32(step), memory_mask,
                                             xpos_tables)
         tgt = pd.pad_e(embd[tok].astype(jnp.bfloat16))
-        out_pal, k_new, v_new = pd.decode_step_pallas(
+        vp = -(-params['embd.weight'].shape[0] // 128) * 128
+        out_pal, k_new, v_new, logits = pd.decode_step_pallas(
             jnp.int32(step), tgt, rots[step], weights, self_k, self_v,
-            mem_k, mem_v, n=n, s_len=S, m_len=M, interpret=True)
+            mem_k, mem_v, n=n, s_len=S, m_len=M, vp=vp, interpret=True)
         self_k = jax.lax.dynamic_update_slice(
             self_k, k_new[:, None], (0, step, 0, 0))
         self_v = jax.lax.dynamic_update_slice(
@@ -55,12 +56,21 @@ def test_pallas_decode_matches_reference():
         # pad lanes must stay zero (downstream masked-LN relies on it)
         assert float(jnp.max(jnp.abs(
             out_pal[:, pd.E:].astype(jnp.float32)))) == 0.0
+        # in-kernel char-head logits match the XLA char head closely
+        ref_lp = ocr48.char_logprobs(params, out_ref)
+        pal_lp = jax.nn.log_softmax(logits, axis=-1)[:, :ref_lp.shape[1]]
+        assert float(jnp.max(jnp.abs(ref_lp - pal_lp))) < 0.05
+        # vocab pad entries can never win top-k
+        assert float(jnp.max(logits[:, ref_lp.shape[1]:])) < -1e8
 
 
-def test_beam_decode_pallas_harness_matches_xla(monkeypatch):
+@pytest.mark.parametrize('kernel_charhead', ['0', '1'])
+def test_beam_decode_pallas_harness_matches_xla(monkeypatch,
+                                                kernel_charhead):
     """Full beam_decode through the Pallas harness (interpret) must yield
-    the same sequences/probs as the XLA decode path on a tiny model."""
-    import os
+    the same sequences/probs as the XLA decode path on a tiny model —
+    with the char head in XLA and fused into the kernel."""
+    monkeypatch.setenv('MIT_TPU_OCR_KERNEL_CHARHEAD', kernel_charhead)
     n = 2
     params = ocr48.init_params(dict_size=48)
     rs = np.random.RandomState(7)
