@@ -128,24 +128,135 @@ def _irfft2_matmul(re: jax.Array, im: jax.Array, h: int, w: int):
     return _dft_einsum('nhkc,kw->nhwc', joined, inv_w)
 
 
+def _rfft2_split(x: jax.Array):
+    """ortho rfft2 over axes (1, 2) of (N, H, W, C) fp32 with SEPARATE
+    re/im planes — same matmul FLOPs as the joint block form, but zero
+    concats/stacks (each of which costs a full-tensor HBM round trip)."""
+    n, h, w, c = x.shape
+    cos_w, sin_w, cos_h, sin_h, _, _, norm = _dft_mats(h, w)
+    f_re = _dft_einsum('nhwc,wk->nhkc', x, cos_w)
+    f_im = _dft_einsum('nhwc,wk->nhkc', x, -sin_w)
+    # H-stage (complex mult by e^{-i·}, ortho norm folded into the mats)
+    ch = cos_h * norm
+    sh = sin_h * norm
+    re = (_dft_einsum('nhkc,hj->njkc', f_re, ch)
+          + _dft_einsum('nhkc,hj->njkc', f_im, sh))
+    im = (_dft_einsum('nhkc,hj->njkc', f_im, ch)
+          - _dft_einsum('nhkc,hj->njkc', f_re, sh))
+    return re, im
+
+
+def _irfft2_split(re: jax.Array, im: jax.Array, h: int, w: int):
+    """ortho irfft2 inverse of _rfft2_split (separate planes, no concats)."""
+    cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats(h, w)
+    ch = cos_h.T * norm
+    sh = sin_h.T * norm
+    g_re = (_dft_einsum('njkc,jh->nhkc', re, ch)
+            - _dft_einsum('njkc,jh->nhkc', im, sh))
+    g_im = (_dft_einsum('njkc,jh->nhkc', im, ch)
+            + _dft_einsum('njkc,jh->nhkc', re, sh))
+    return (_dft_einsum('nhkc,kw->nhwc', g_re, inv_cos_w)
+            - _dft_einsum('nhkc,kw->nhwc', g_im, inv_sin_w))
+
+
+def _fu_pallas_mode() -> bool:
+    """Channel-major Pallas FourierUnit (ops/pallas_spectral) — MEASURED
+    4.5x SLOWER than the XLA split path on v5e (163.7 vs 35.9 ms for the
+    36-FU trunk: Mosaic's fp32 dot lowering + per-channel small matmuls
+    lose to XLA's fused HIGH-precision einsums). Kept as an opt-in
+    experiment: MIT_TPU_LAMA_FU=pallas."""
+    return os.environ.get('MIT_TPU_LAMA_FU', 'xla') == 'pallas'
+
+
+def _fourier_unit_pallas(p: P, x: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Kernel-backed FourierUnit (same math as the split XLA path; see
+    ops/pallas_spectral.py). Handles the trunk's n=1 activations; the
+    conv quadrants and the BN+bias affine are folded host-of-kernel."""
+    from ..ops.pallas_spectral import fourier_unit_cm
+    n, h, w, c = x.shape
+    wt = p['conv_layer.weight'][0, 0].astype(jnp.float32)   # (2C, 2C)
+    wrr = wt[0::2, 0::2].T
+    wir = wt[1::2, 0::2].T
+    wri = wt[0::2, 1::2].T
+    wii = wt[1::2, 1::2].T
+    bias = (p['conv_layer.bias'].astype(jnp.float32)
+            if 'conv_layer.bias' in p else jnp.zeros((2 * c,), jnp.float32))
+    if 'bn.running_mean' in p:
+        bw = p['bn.weight'].astype(jnp.float32)
+        bb = p['bn.bias'].astype(jnp.float32)
+        mean = p['bn.running_mean'].astype(jnp.float32)
+        var = p['bn.running_var'].astype(jnp.float32)
+        scale = bw / jnp.sqrt(var + 1e-5)
+        shift = bb - mean * scale + bias * scale
+    else:
+        scale = jnp.ones((2 * c,), jnp.float32)
+        shift = bias
+
+    def one(img):
+        x_cm = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
+        out = fourier_unit_cm(
+            x_cm, wrr, wir, wri, wii,
+            scale[0::2].reshape(c, 1), shift[0::2].reshape(c, 1),
+            scale[1::2].reshape(c, 1), shift[1::2].reshape(c, 1),
+            interpret=interpret)
+        return jnp.transpose(out, (1, 2, 0))
+
+    out = jax.lax.map(one, x) if n > 1 else one(x[0])[None]
+    return out.astype(x.dtype)
+
+
 def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
-    """FourierUnit: rfft2 → interleaved re/im 1x1 conv + BN + ReLU → irfft2.
+    """FourierUnit: rfft2 → re/im 1x1 conv + BN + ReLU → irfft2.
 
     x: (N, H, W, C). The transforms run in fp32 (reference forces fp32 around
     rfftn/irfftn, inpainting_lama_mpe.py:225-253) but as MXU matmuls rather
-    than XLA's slow TPU FFT; the 1x1 conv stays in the compute dtype.
+    than XLA's slow TPU FFT.
+
+    The reference interleaves re/im per channel and runs one (2C→2C) 1x1
+    conv. Interleave/deinterleave shuffles the whole tensor twice through
+    HBM, so here the conv is algebraically split into its four re/im
+    quadrants (strided slices of the same weights — checkpoint layout
+    unchanged): y_re = re·W_rr + im·W_ir, y_im = re·W_ri + im·W_ii, with
+    BN/ReLU applied per half. Bit-equivalent math, zero layout ops.
     """
     n, h, w, c = x.shape
-    re, im = _rfft2_matmul(x.astype(jnp.float32))
-    # interleave re/im per channel: (N, H, Wf, 2C) as [c0_re, c0_im, c1_re,…]
-    stacked = jnp.stack([re, im], axis=-1).reshape(n, h, w // 2 + 1, 2 * c)
-    y = p.conv('conv_layer', stacked.astype(x.dtype))
-    if 'bn.running_mean' in p:          # folded params carry no BN keys
-        y = p.bn('bn', y)
-    y = relu(y)
-    y = y.astype(jnp.float32).reshape(n, h, w // 2 + 1, c, 2)
-    out = _irfft2_matmul(y[..., 0], y[..., 1], h, w)
+    if (not _FFT_BF16 and c % 8 == 0 and h % 8 == 0
+            and _fu_pallas_mode()):
+        return _fourier_unit_pallas(p, x)
+    re, im = _rfft2_split(x.astype(jnp.float32))
+    wt = p['conv_layer.weight']            # (1, 1, 2C, 2C) interleaved
+    w_r = wt[0, 0, 0::2]                   # (C, 2C): rows feeding from re
+    w_i = wt[0, 0, 1::2]                   # (C, 2C): rows feeding from im
+    bias = p['conv_layer.bias'] if 'conv_layer.bias' in p else None
+
+    def half(sel):                         # sel 0 → re outputs, 1 → im
+        y = (jnp.einsum('nhkc,cd->nhkd', re.astype(x.dtype),
+                        w_r[:, sel::2].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum('nhkc,cd->nhkd', im.astype(x.dtype),
+                          w_i[:, sel::2].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+             ).astype(x.dtype)
+        if bias is not None:
+            y = y + bias[sel::2].astype(x.dtype)
+        if 'bn.running_mean' in p:          # folded params carry no BN keys
+            y = _bn_slice(p, 'bn', y, sel)
+        return relu(y).astype(jnp.float32)
+
+    out = _irfft2_split(half(0), half(1), h, w)
     return out.astype(x.dtype)
+
+
+def _bn_slice(p: P, key: str, x: jax.Array, sel: int) -> jax.Array:
+    """Inference BN over the ``sel``-interleaved half of the channels."""
+    mean = p[f'{key}.running_mean'][sel::2]
+    var = p[f'{key}.running_var'][sel::2]
+    w = p[f'{key}.weight'][sel::2]
+    b = p[f'{key}.bias'][sel::2]
+    scale = (w / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+    shift = (b - mean * w / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+    return x * scale + shift
 
 
 def _spectral_transform(p: P, x: jax.Array) -> jax.Array:

@@ -127,3 +127,73 @@ class TestInpaintDispatch:
                                    inpainting_size=64, device='cpu'))
         assert out.shape == img.shape
         np.testing.assert_array_equal(out[0, 0], img[0, 0])
+
+
+class TestFourierUnitSplit:
+    def test_split_fu_matches_joint_form(self):
+        """The re/im-split FourierUnit (zero layout ops) must match the
+        reference's interleaved-conv formulation."""
+        import jax.numpy as jnp
+        from manga_image_translator_tpu.models import lama
+        from manga_image_translator_tpu.models.functional import P, relu
+
+        rs = np.random.RandomState(5)
+        n, h, w, c = 1, 16, 24, 8
+        params = {
+            'fu.conv_layer.weight': jnp.asarray(
+                rs.randn(1, 1, 2 * c, 2 * c).astype(np.float32) * 0.2),
+            'fu.conv_layer.bias': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.weight': jnp.asarray(
+                rs.rand(2 * c).astype(np.float32) + 0.5),
+            'fu.bn.bias': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.running_mean': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.running_var': jnp.asarray(
+                rs.rand(2 * c).astype(np.float32) + 0.5),
+        }
+        x = jnp.asarray(rs.randn(n, h, w, c).astype(np.float32))
+        p = P(params).scope('fu')
+
+        # reference formulation: interleave → one (2C,2C) conv → deinterleave
+        re, im = lama._rfft2_matmul(x)
+        stacked = jnp.stack([re, im], -1).reshape(n, h, w // 2 + 1, 2 * c)
+        y = p.conv('conv_layer', stacked)
+        y = relu(p.bn('bn', y))
+        y = y.reshape(n, h, w // 2 + 1, c, 2)
+        want = lama._irfft2_matmul(y[..., 0], y[..., 1], h, w)
+
+        got = lama._fourier_unit(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_pallas_fu_matches_split_form(self):
+        """Channel-major Pallas FourierUnit (interpret) vs the XLA split
+        path."""
+        import jax.numpy as jnp
+        from manga_image_translator_tpu.models import lama
+        from manga_image_translator_tpu.models.functional import P
+
+        rs = np.random.RandomState(9)
+        n, h, w, c = 1, 16, 32, 16
+        params = {
+            'fu.conv_layer.weight': jnp.asarray(
+                rs.randn(1, 1, 2 * c, 2 * c).astype(np.float32) * 0.2),
+            'fu.conv_layer.bias': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.weight': jnp.asarray(
+                rs.rand(2 * c).astype(np.float32) + 0.5),
+            'fu.bn.bias': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.running_mean': jnp.asarray(
+                rs.randn(2 * c).astype(np.float32) * 0.1),
+            'fu.bn.running_var': jnp.asarray(
+                rs.rand(2 * c).astype(np.float32) + 0.5),
+        }
+        x = jnp.asarray(rs.randn(n, h, w, c).astype(np.float32))
+        p = P(params).scope('fu')
+        want = lama._fourier_unit(p, x)   # split XLA path (CPU: no pallas)
+        got = lama._fourier_unit_pallas(p, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)

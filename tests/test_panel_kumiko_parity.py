@@ -1,0 +1,125 @@
+"""Panel detection parity vs the reference's vendored Kumiko.
+
+SURVEY §2.2 / VERDICT coverage #21: our compact panel re-derivation
+(utils/panel.py) only needs to produce the same panel RECTANGLES in the
+same reading order as Kumiko (consumers: utils/sort.py reading-order
+sort). These tests run the reference's own Kumiko (imported from
+/root/reference with host-env deps stubbed) on synthetic pages and assert
+rect-level agreement.
+"""
+import sys
+import types
+
+import cv2
+import numpy as np
+import pytest
+
+from manga_image_translator_tpu.utils.panel import get_panels_from_array
+
+
+def _reference_panels(img_rgb):
+    """Run the reference's Kumiko on an RGB array → list of (x, y, w, h)."""
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    class _AnyAttr(types.ModuleType):
+        __file__ = '<stub>'
+
+        def __getattr__(self, item):
+            if item.startswith('__') and item.endswith('__'):
+                raise AttributeError(item)
+            return _AnyAttr(f'{self.__name__}.{item}')
+
+        def __call__(self, *a, **k):
+            return None
+
+    for _ in range(60):
+        try:
+            import manga_translator.utils.panel.lib.page  # noqa: F401
+            from manga_translator.utils.panel import (
+                get_panels_from_array as ref)
+            break
+        except ModuleNotFoundError as e:
+            import importlib.machinery
+            mod = _AnyAttr(e.name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(e.name, None)
+            sys.modules[e.name] = mod
+            for k in list(sys.modules):
+                if k.startswith('manga_translator'):
+                    del sys.modules[k]
+    # this cv2 build returns LSD lines as (N, 4); the reference's Kumiko
+    # (written against an older OpenCV) indexes (N, 1, 4) — shim it
+    ref_page = sys.modules['manga_translator.utils.panel.lib.page']
+
+    class _LSDShim:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def detect(self, img):
+            res = self._inner.detect(img)
+            lines = res[0]
+            if lines is not None and getattr(lines, 'ndim', 0) == 2:
+                lines = lines.reshape(-1, 1, 4)
+            return (lines,) + tuple(res[1:])
+
+    orig = ref_page.cv.createLineSegmentDetector
+    ref_page.cv.createLineSegmentDetector = (
+        lambda *a, **k: _LSDShim(orig(*a, **k)))
+    try:
+        return [tuple(p) for p in ref(img_rgb)]
+    finally:
+        ref_page.cv.createLineSegmentDetector = orig
+
+
+def _page_with_panels(rects, size=(600, 800), bg=255, fg=235):
+    """White page with light-gray panel interiors and black borders."""
+    h, w = size[1], size[0]
+    img = np.full((h, w, 3), bg, np.uint8)
+    for (x, y, pw, ph) in rects:
+        cv2.rectangle(img, (x, y), (x + pw, y + ph), (0, 0, 0), 3)
+        img[y + 3:y + ph - 2, x + 3:x + pw - 2] = fg
+    return img
+
+
+def _match(ours, refs, tol=20):
+    """Greedy rect matching within ``tol`` px on every coordinate."""
+    refs = list(refs)
+    for r in ours:
+        best = None
+        for i, q in enumerate(refs):
+            if all(abs(a - b) <= tol for a, b in zip(r, q)):
+                best = i
+                break
+        assert best is not None, f'{r} unmatched in {refs}'
+        refs.pop(best)
+
+
+@pytest.mark.parametrize('layout', [
+    # 2x2 grid
+    [(40, 40, 240, 330), (320, 40, 240, 330),
+     (40, 420, 240, 330), (320, 420, 240, 330)],
+    # full-width top + two bottom
+    [(40, 40, 520, 330), (40, 420, 240, 330), (320, 420, 240, 330)],
+    # single splash panel
+    [(40, 40, 520, 710)],
+])
+def test_panels_match_reference_kumiko(layout):
+    img = _page_with_panels(layout)
+    try:
+        refs = _reference_panels(img)
+    except Exception as e:  # pragma: no cover - reference env missing
+        pytest.skip(f'reference Kumiko unavailable: {e}')
+    ours = get_panels_from_array(img)
+    # same number of panels detected…
+    assert len(ours) == len(refs), (ours, refs)
+    # …covering the same rectangles
+    _match(ours, refs)
+
+
+def test_panel_reading_order_stable():
+    layout = [(40, 40, 240, 330), (320, 40, 240, 330),
+              (40, 420, 520, 330)]
+    img = _page_with_panels(layout)
+    ours = get_panels_from_array(img)
+    assert len(ours) == 3
+    # top row before bottom row
+    assert max(ours[0][1], ours[1][1]) < ours[2][1]
