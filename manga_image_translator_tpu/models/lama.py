@@ -319,13 +319,19 @@ def _resnet_block(p: P, x_l: jax.Array, x_g: jax.Array):
 # whose grid-step overhead costs more than the XLA phase-packed version —
 # measured e2e 126.7 vs 111.2 ms/page. Opt-in until the kernel tiles
 # channels as well as rows.
-_PALLAS_SHELL = os.environ.get('MIT_TPU_LAMA_PALLAS', '0') == '1'
+# '1' = stem + final through the streaming kernel; 'stem' = stem only
+# (the packed FINAL conv kernel measured e2e-slower: tiny row tiles)
+_PALLAS_SHELL = os.environ.get('MIT_TPU_LAMA_PALLAS', '0')
 
 
-def _pallas_shell_ok(params: Dict, h: int, w: int) -> bool:
-    """Route stem/final through the streaming Pallas kernel when the packed
-    weights exist (fold_bn adds them) and we're on real TPU hardware."""
-    if not _PALLAS_SHELL or 'pallas.stem.weight' not in params:
+def _pallas_shell_ok(params: Dict, h: int, w: int, part: str) -> bool:
+    """Route the stem and/or final conv through the streaming Pallas kernel
+    when the packed weights exist (fold_bn adds them) and we're on real
+    TPU hardware. part: 'stem' enabled by MIT_TPU_LAMA_PALLAS in
+    {1, stem}; 'final' only by =1."""
+    wanted = (_PALLAS_SHELL == '1'
+              or (_PALLAS_SHELL == 'stem' and part == 'stem'))
+    if not wanted or 'pallas.stem.weight' not in params:
         return False
     try:
         plat = jax.devices()[0].platform.lower()
@@ -364,11 +370,12 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
     p = P(params)
     x = jnp.concatenate([img, mask], axis=-1)
     H, W = img.shape[1], img.shape[2]
-    pallas_shell = _pallas_shell_ok(params, H, W)
+    pallas_stem = _pallas_shell_ok(params, H, W, 'stem')
+    pallas_final = _pallas_shell_ok(params, H, W, 'final')
 
     # model.0 reflection pad + model.1 stem FFC (all-local)
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
-    if pallas_shell:
+    if pallas_stem:
         x_l = _packed_conv(x, params['pallas.stem.weight'],
                            params['pallas.stem.bias'], True, H, W, NGF)
         x_g = None
@@ -403,7 +410,7 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
         x = relu(x)
 
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
-    if pallas_shell:
+    if pallas_final:
         x = _packed_conv(x, params['pallas.final.weight'],
                          params['pallas.final.bias'], False, H, W, 3)
     else:
