@@ -21,6 +21,24 @@ def _reference_panels(img_rgb):
     """Run the reference's Kumiko on an RGB array → list of (x, y, w, h)."""
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
+    # tests/ref_oracle.py installs a meta-path finder that serves
+    # do-nothing stubs for every manga_translator.* import — suspend it
+    # (and drop its cached stub modules) so the REAL Kumiko loads here
+    suspended = [f for f in sys.meta_path
+                 if type(f).__name__ == '_StubFinder']
+    for f in suspended:
+        sys.meta_path.remove(f)
+    for k in list(sys.modules):
+        if k.startswith('manga_translator'):
+            del sys.modules[k]
+    # ref_oracle's torchvision stub carries no __spec__, which makes
+    # importlib reject `import torchvision.x` chains — patch one in
+    import importlib.machinery
+    for name in ('torchvision', 'torchvision.models'):
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, '__spec__', None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+
     class _AnyAttr(types.ModuleType):
         __file__ = '<stub>'
 
@@ -68,6 +86,13 @@ def _reference_panels(img_rgb):
         return [tuple(p) for p in ref(img_rgb)]
     finally:
         ref_page.cv.createLineSegmentDetector = orig
+        # restore the oracle suite's stub finder and purge the REAL
+        # modules this import cached, so later oracle tests still see
+        # their stubs
+        sys.meta_path[0:0] = suspended
+        for k in list(sys.modules):
+            if k.startswith('manga_translator'):
+                del sys.modules[k]
 
 
 def _page_with_panels(rects, size=(600, 800), bg=255, fg=235):
