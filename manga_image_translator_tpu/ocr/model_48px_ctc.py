@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..config import OcrConfig
 from ..models import ocr48_ctc
 from ..models.torch_loader import convert_state_dict
+from ..ops import warp
 from ..utils.bubble import is_ignore
 from ..utils.geometry import Quadrilateral
 from .common import AvgMeter, OfflineOCR, chunks
@@ -83,31 +84,56 @@ class Model48pxCTCOCR(OfflineOCR):
         threshold = 0.5 if config.prob is None else config.prob
 
         quadrilaterals = list(self._generate_text_direction(textlines))
-        region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
-                       for q, d in quadrilaterals]
         out_regions = []
 
-        perm = range(len(region_imgs))
-        is_quadrilaterals = False
-        if quadrilaterals and isinstance(quadrilaterals[0][0], Quadrilateral):
-            is_quadrilaterals = True
-            perm = sorted(range(len(region_imgs)),
-                          key=lambda x: region_imgs[x].shape[1])
+        is_quadrilaterals = bool(
+            quadrilaterals
+            and isinstance(quadrilaterals[0][0], Quadrilateral))
+
+        # Device-batched perspective crops (ops/warp.py) unless the bubble
+        # filter needs host pixels per crop or MIT_TPU_HOST_CROPS=1
+        use_device_crops = (
+            is_quadrilaterals and not (1 <= ignore_bubble <= 50)
+            and __import__('os').environ
+            .get('MIT_TPU_HOST_CROPS', '0') != '1')
+        if use_device_crops:
+            plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
+                     for q, d in quadrilaterals]
+            widths_all = [p[0] for p in plans]
+            img_dev = jnp.asarray(np.ascontiguousarray(image))
+        else:
+            region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
+                           for q, d in quadrilaterals]
+            widths_all = [r.shape[1] for r in region_imgs]
+
+        perm = range(len(quadrilaterals))
+        if is_quadrilaterals:
+            perm = sorted(range(len(quadrilaterals)),
+                          key=lambda x: widths_all[x])
 
         for indices in chunks(list(perm), MAX_CHUNK):
-            widths = [region_imgs[i].shape[1] for i in indices]
+            widths = [widths_all[i] for i in indices]
             bw = bucket_width(max(widths) + 128)
-            batch = np.zeros((MAX_CHUNK, TEXT_HEIGHT, bw, 3), np.uint8)
             skipped = set()
-            for i, idx in enumerate(indices):
-                if 1 <= ignore_bubble <= 50 and is_ignore(region_imgs[idx],
-                                                          ignore_bubble):
-                    skipped.add(i)
-                    continue
-                w = min(region_imgs[idx].shape[1], bw)
-                batch[i, :, :w, :] = region_imgs[idx][:, :w]
-
-            images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
+            if use_device_crops:
+                valid_widths = np.zeros((MAX_CHUNK,), np.int32)
+                valid_widths[:len(indices)] = [min(w, bw) for w in widths]
+                Hs = np.stack([plans[i][1] for i in indices]
+                              + [warp._DEGENERATE_H]
+                              * (MAX_CHUNK - len(indices)))
+                images = warp.crop_batch(img_dev, jnp.asarray(Hs),
+                                         jnp.asarray(valid_widths),
+                                         out_h=TEXT_HEIGHT, out_w=bw)
+            else:
+                batch = np.zeros((MAX_CHUNK, TEXT_HEIGHT, bw, 3), np.uint8)
+                for i, idx in enumerate(indices):
+                    if (1 <= ignore_bubble <= 50
+                            and is_ignore(region_imgs[idx], ignore_bubble)):
+                        skipped.add(i)
+                        continue
+                    w = min(region_imgs[idx].shape[1], bw)
+                    batch[i, :, :w, :] = region_imgs[idx][:, :w]
+                images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
             logprobs, colors = ocr48_ctc.ctc_forward(self.params, images)
             texts = self._decode_ctc(np.asarray(logprobs),
                                      np.asarray(colors))
