@@ -112,13 +112,15 @@ class Model48pxOCR(OfflineOCR):
             quadrilaterals
             and isinstance(quadrilaterals[0][0], Quadrilateral))
 
-        # Crop extraction: device-batched perspective sampling by default
-        # (host DLT homographies + one bilinear gather per chunk,
-        # ops/warp.py); host cv2 path kept behind MIT_TPU_HOST_CROPS=1 and
-        # for the TextBlock line-index form.
+        # Crop extraction. MEASURED on v5e: the batched device gather
+        # costs ~21 ms per 16-crop chunk at bucket 1024 (~1.3 ms/crop
+        # at bucket 128) — TPU gathers are slow — vs ~2-5 ms host cv2
+        # warps + a negligible upload. Host crops are therefore the
+        # DEFAULT; MIT_TPU_DEVICE_CROPS=1 opts into the device path
+        # (useful when the host is saturated or remote).
         use_device_crops = (is_quadrilaterals and
                             __import__('os').environ
-                            .get('MIT_TPU_HOST_CROPS', '0') != '1')
+                            .get('MIT_TPU_DEVICE_CROPS', '0') == '1')
         if use_device_crops:
             plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
                      for q, d in quadrilaterals]

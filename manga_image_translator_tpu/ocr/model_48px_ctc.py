@@ -90,12 +90,16 @@ class Model48pxCTCOCR(OfflineOCR):
             quadrilaterals
             and isinstance(quadrilaterals[0][0], Quadrilateral))
 
-        # Device-batched perspective crops (ops/warp.py) unless the bubble
-        # filter needs host pixels per crop or MIT_TPU_HOST_CROPS=1
+        # Crop extraction. MEASURED on v5e: the batched device gather
+        # costs ~21 ms per 16-crop chunk at bucket 1024 (~1.3 ms/crop
+        # at bucket 128) — TPU gathers are slow — vs ~2-5 ms host cv2
+        # warps + a negligible upload. Host crops are therefore the
+        # DEFAULT; MIT_TPU_DEVICE_CROPS=1 opts into the device path
+        # (useful when the host is saturated or remote).
         use_device_crops = (
             is_quadrilaterals and not (1 <= ignore_bubble <= 50)
             and __import__('os').environ
-            .get('MIT_TPU_HOST_CROPS', '0') != '1')
+            .get('MIT_TPU_DEVICE_CROPS', '0') == '1')
         if use_device_crops:
             plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
                      for q, d in quadrilaterals]
