@@ -17,6 +17,7 @@ async def main():
         get_inpainter(Inpainter.lama_large),
         get_inpainter(Inpainter.default),
         get_upscaler(Upscaler.esrgan),
+        get_upscaler(Upscaler.waifu2x),
     ]
     for job in jobs:
         try:
