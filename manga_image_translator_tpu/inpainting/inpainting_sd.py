@@ -117,19 +117,35 @@ def _fill_mask_input(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 class SimpleCLIPTokenizer:
     """Offline-capable CLIP tokenizer wrapper: uses transformers'
-    CLIPTokenizer when its vocab is available locally, else falls back to a
-    deterministic hash tokenizer (smoke tests / random-weight mode only)."""
+    CLIPTokenizer (local cache first, then hub download), else falls back
+    to a deterministic hash tokenizer — smoke tests / random-weight mode
+    ONLY. With real SD weights a missing vocab raises instead of silently
+    producing garbage conditioning (ADVICE r2 low #2): the hard-fail
+    policy of utils/inference.MissingWeightsError applies to the
+    tokenizer artifact too."""
 
-    def __init__(self, vocab_size: int, max_tokens: int):
+    def __init__(self, vocab_size: int, max_tokens: int,
+                 require_real: bool = False):
         self.vocab_size = vocab_size
         self.max_tokens = max_tokens
         self._hf = None
-        try:
-            from transformers import CLIPTokenizer
-            self._hf = CLIPTokenizer.from_pretrained(
-                'openai/clip-vit-large-patch14', local_files_only=True)
-        except Exception:
-            self._hf = None
+        err = None
+        for local_only in (True, False):
+            try:
+                from transformers import CLIPTokenizer
+                self._hf = CLIPTokenizer.from_pretrained(
+                    'openai/clip-vit-large-patch14',
+                    local_files_only=local_only)
+                break
+            except Exception as e:
+                err = e
+        if self._hf is None and require_real:
+            from ..utils.inference import MissingWeightsError
+            raise MissingWeightsError(
+                'StableDiffusionInpainter: CLIP tokenizer vocab unavailable '
+                f'({err}); refusing hash-tokenizer conditioning with real '
+                'SD weights. Provide the openai/clip-vit-large-patch14 '
+                'tokenizer files in the HF cache.')
 
     def __call__(self, text: str) -> np.ndarray:
         if self._hf is not None:
@@ -186,8 +202,9 @@ class StableDiffusionInpainter(OfflineInpainter):
             self.using_random_weights = True
             self.cfg = sd.SDConfig.tiny()
             self.params = sd.init_params(self.cfg)
-        self.tokenizer = SimpleCLIPTokenizer(self.cfg.vocab_size,
-                                             self.cfg.max_tokens)
+        self.tokenizer = SimpleCLIPTokenizer(
+            self.cfg.vocab_size, self.cfg.max_tokens,
+            require_real=not self.using_random_weights)
 
     async def _unload(self):
         self.params = None

@@ -192,6 +192,11 @@ class Ct2Transformer:
         self.unk_id = self.src_index.get('<unk>', 0)
         self.bos_id = self.tgt_index.get('<s>', 1)
         self.eos_id = self.tgt_index.get('</s>', 2)
+        # ct2 config may override the decoder start token (m2m100 starts
+        # from '</s>', fairseq-converted models from '<s>')
+        start_tok = config.get('decoder_start_token')
+        self.start_id = (self.tgt_index.get(start_tok, self.bos_id)
+                         if start_tok else self.bos_id)
 
         names = list(variables)
         self.n_enc = 1 + max((int(m.group(1)) for n in names
@@ -308,14 +313,15 @@ class Ct2Transformer:
 
     def translate_batch(self, batch_tokens: List[List[str]],
                         beam_size: int = 5, max_len: int = 200,
-                        repetition_penalty: float = 3.0
+                        repetition_penalty: float = 3.0,
+                        target_prefix: Optional[List[List[str]]] = None
                         ) -> List[List[str]]:
-        """Greedy/beam translate tokenized pieces -> target pieces.
+        """Beam (or greedy) translate tokenized pieces -> target pieces.
 
         Mirrors the reference call contract (sugoi.py:104-113:
-        translate_batch(beam_size=5, repetition_penalty=3, disable_unk)).
+        translate_batch(beam_size=5, repetition_penalty=3, disable_unk);
+        m2m100.py:82-91 adds target_prefix=[[lang]] forcing).
         """
-        import jax
         import jax.numpy as jnp
         if not batch_tokens:
             return []
@@ -327,9 +333,25 @@ class Ct2Transformer:
         for i, t in enumerate(ids):
             arr[i, :len(t)] = t
             lengths[i] = len(t)
-        out_ids = _greedy_decode(self, jnp.asarray(arr),
-                                 jnp.asarray(lengths), max_len,
-                                 repetition_penalty)
+        # forced decoder prefix (per-row, padded): position 0 is the
+        # decoder start token, positions 1..P are forced
+        if target_prefix is not None:
+            if len(target_prefix) != len(ids):
+                raise ValueError('target_prefix length != batch size')
+            plen = max((len(p) for p in target_prefix), default=0)
+            prefix = np.zeros((len(ids), max(plen, 1)), np.int32)
+            prefix_len = np.zeros((len(ids),), np.int32)
+            for i, p in enumerate(target_prefix):
+                for j, tok in enumerate(p):
+                    prefix[i, j] = self.tgt_index.get(tok, self.unk_id)
+                prefix_len[i] = len(p)
+        else:
+            prefix = np.zeros((len(ids), 1), np.int32)
+            prefix_len = np.zeros((len(ids),), np.int32)
+        out_ids = _beam_decode(self, jnp.asarray(arr), jnp.asarray(lengths),
+                               max_len, repetition_penalty,
+                               jnp.asarray(prefix), jnp.asarray(prefix_len),
+                               beam_size)
         results = []
         for row in np.asarray(out_ids):
             toks = []
@@ -343,35 +365,48 @@ class Ct2Transformer:
         return results
 
 
-def _greedy_decode(model: Ct2Transformer, tokens, lengths, max_len: int,
-                   rep_penalty: float):
-    """KV-cached greedy decode under one jitted while_loop program."""
+def _beam_decode(model: Ct2Transformer, tokens, lengths, max_len: int,
+                 rep_penalty: float, prefix, prefix_len, beam_size: int):
+    """KV-cached fixed-shape beam decode under one while_loop program.
+
+    TPU-shaped beam search: K beams per sentence flattened into a (B*K)
+    decoder batch; finished beams emit only EOS at logprob 0; forced
+    target prefixes (m2m100's ``target_prefix=[[lang]]``, reference
+    m2m100.py:85) override the first ``prefix_len`` emissions of every
+    beam. The repetition penalty (ct2 semantics: divide positive /
+    multiply negative scores of previously GENERATED tokens) sees only
+    positions 1..t — never the EOS/BOS prefill of the fixed-shape token
+    buffer. Final hypothesis maximizes score/length (ct2
+    length_penalty=1)."""
     import jax
     import jax.numpy as jnp
 
     memory, pad = model.encode(tokens, lengths)
     b = tokens.shape[0]
+    K = max(int(beam_size), 1)
+    bk = b * K
     d = model.d_model
     heads = model.num_heads
     emb = model.params[model._emb_key('decoder')]
     proj_w = model.params['decoder/projection/weight']
     proj_b = model.params.get('decoder/projection/bias')
     vocab = proj_w.shape[0]
-    sin_table = jnp.asarray(model._sinusoid(max_len + 1))
+    L = max_len + 1
+    sin_table = jnp.asarray(model._sinusoid(L))
+    plen_max = prefix.shape[1]
 
-    # precompute cross K/V per layer
+    # per-beam copies of the encoder memory state
     cross_kv = []
     for i in range(model.n_dec):
         pre = f'decoder/layer_{i}/attention'
         kv = model._linear(f'{pre}/linear_1', memory)
-        k, v = jnp.split(kv, 2, axis=-1)
-        cross_kv.append((k, v))
+        ck, cv = jnp.split(kv, 2, axis=-1)
+        cross_kv.append((jnp.repeat(ck, K, axis=0),
+                         jnp.repeat(cv, K, axis=0)))
+    mask_mem = jnp.repeat(pad, K, axis=0)[:, None, None, :]
 
-    mask_mem = pad[:, None, None, :]
-
-    def step(carry):
-        toks, caches, t, done = carry
-        last = jax.lax.dynamic_slice(toks, (0, t), (b, 1))[:, 0]
+    def fwd(last, caches, t):
+        """One decoder step on the flattened (B*K) batch."""
         x = emb[last][:, None, :] * jnp.sqrt(
             jnp.float32(d)).astype(emb.dtype)
         x = x + sin_table[t][None, None, :]
@@ -387,7 +422,7 @@ def _greedy_decode(model: Ct2Transformer, tokens, lengths, max_len: int,
             ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0))
             new_caches.append((ck, cv))
-            smask = (jnp.arange(max_len + 1)[None, None, None, :] > t)
+            smask = (jnp.arange(L)[None, None, None, :] > t)
             a = model._attention(q, ck, cv, smask, heads)
             a = model._linear(f'{pre}/self_attention/linear_1', a)
             x = res + a
@@ -417,34 +452,76 @@ def _greedy_decode(model: Ct2Transformer, tokens, lengths, max_len: int,
                             preferred_element_type=jnp.float32)[:, 0]
         if proj_b is not None:
             logits = logits + proj_b
-        # repetition penalty over already-emitted tokens (ct2 semantics:
-        # divide positive / multiply negative scores of seen tokens)
-        seen = jax.nn.one_hot(toks, vocab, dtype=jnp.float32).sum(1) > 0
+        return logits, new_caches
+
+    NEG = jnp.float32(-1e9)
+
+    def step(carry):
+        toks, scores, caches, t, done, out_len = carry
+        last = jax.lax.dynamic_slice(
+            toks, (0, 0, t), (b, K, 1)).reshape(bk)
+        logits, new_caches = fwd(last, caches, t)
+
+        # repetition penalty over emitted positions 1..t only
+        pos_valid = (jnp.arange(L) >= 1) & (jnp.arange(L) <= t)
+        rows = jnp.broadcast_to(jnp.arange(bk)[:, None], (bk, L))
+        seen = jnp.zeros((bk, vocab), jnp.bool_).at[
+            rows, toks.reshape(bk, L)].max(
+                jnp.broadcast_to(pos_valid[None, :], (bk, L)))
         penalized = jnp.where(logits > 0, logits / rep_penalty,
                               logits * rep_penalty)
         logits = jnp.where(seen, penalized, logits)
-        logits = logits.at[:, model.unk_id].set(-jnp.inf)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, model.eos_id, nxt)
+        logits = logits.at[:, model.unk_id].set(NEG)
+
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, K, vocab)
+        # finished beams only extend with EOS at zero cost
+        eos_only = jnp.full((vocab,), NEG).at[model.eos_id].set(0.0)
+        logp = jnp.where(done[:, :, None], eos_only[None, None, :], logp)
+        # forced prefix emission
+        forced_tok = prefix[:, jnp.minimum(t, plen_max - 1)]
+        forced = t < prefix_len
+        forced_row = jnp.where(
+            jax.nn.one_hot(forced_tok, vocab, dtype=bool), 0.0, NEG)
+        logp = jnp.where(forced[:, None, None], forced_row[:, None, :],
+                         logp)
+
+        total = scores[:, :, None] + logp
+        top_scores, top_idx = jax.lax.top_k(total.reshape(b, K * vocab), K)
+        beam_idx = top_idx // vocab
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+
+        toks = jnp.take_along_axis(toks, beam_idx[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        out_len = jnp.take_along_axis(out_len, beam_idx, axis=1)
+        scores = top_scores
         toks = jax.lax.dynamic_update_slice(
-            toks, nxt[:, None], (0, t + 1))
-        done = done | (nxt == model.eos_id)
-        return toks, new_caches, t + 1, done
+            toks, tok_idx[:, :, None], (0, 0, t + 1))
+        out_len = out_len + (~done).astype(jnp.int32)
+        done = done | (tok_idx == model.eos_id)
+
+        gather = (jnp.arange(b)[:, None] * K + beam_idx).reshape(bk)
+        new_caches = [(ck[gather], cv[gather]) for ck, cv in new_caches]
+        return toks, scores, new_caches, t + 1, done, out_len
 
     def cond(carry):
-        _, _, t, done = carry
+        _, _, _, t, done, _ = carry
         return (t < max_len) & ~jnp.all(done)
 
-    toks0 = jnp.full((b, max_len + 1), model.eos_id, jnp.int32)
-    toks0 = toks0.at[:, 0].set(model.bos_id)
-    caches0 = [(jnp.zeros((b, max_len + 1, d), memory.dtype),
-                jnp.zeros((b, max_len + 1, d), memory.dtype))
+    toks0 = jnp.full((b, K, L), model.eos_id, jnp.int32)
+    toks0 = toks0.at[:, :, 0].set(model.start_id)
+    scores0 = jnp.full((b, K), NEG).at[:, 0].set(0.0)
+    caches0 = [(jnp.zeros((bk, L, d), memory.dtype),
+                jnp.zeros((bk, L, d), memory.dtype))
                for _ in range(model.n_dec)]
-    done0 = jnp.zeros((b,), bool)
+    done0 = jnp.zeros((b, K), bool)
+    out_len0 = jnp.zeros((b, K), jnp.int32)
 
-    toks, _, _, _ = jax.lax.while_loop(
-        cond, lambda c: step(c), (toks0, caches0, jnp.int32(0), done0))
-    return toks[:, 1:]
+    toks, scores, _, _, _, out_len = jax.lax.while_loop(
+        cond, step, (toks0, scores0, caches0, jnp.int32(0), done0,
+                     out_len0))
+    norm = scores / jnp.maximum(out_len, 1).astype(jnp.float32)
+    best = jnp.argmax(norm, axis=1)
+    return toks[jnp.arange(b), best, 1:]
 
 
 import jax  # noqa: E402  (kept at bottom: numpy-only parsing works without)

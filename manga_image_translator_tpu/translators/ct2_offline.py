@@ -100,9 +100,13 @@ class JparacrawlTranslator(_CT2Translator):
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/jparacrawl-base-models.zip',
             'hash': 'e98e0fa35a80d2bc48c16673914639db66da1013ec66cc7b79119cdd3b542ebb',
+            # real zip layout (reference sugoi.py:18-29): root-level spm
+            # models + ct2 model dirs, moved into jparacrawl/
             'archive': {
-                'jparacrawl/spm.ja.nopretok.model': '.',
-                'jparacrawl/spm.en.nopretok.model': '.',
+                'spm.ja.nopretok.model': 'jparacrawl/',
+                'spm.en.nopretok.model': 'jparacrawl/',
+                'base-ja-en': 'jparacrawl/base-ja-en',
+                'base-en-ja': 'jparacrawl/base-en-ja',
             },
         },
     }
@@ -117,9 +121,12 @@ class JparacrawlBigTranslator(JparacrawlTranslator):
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/jparacrawl-big-models.zip',
             'hash': '5e0c4cea5a5098152f566de3694602ed3db52927d3df22d2a7bfb8dba2bebe33',
+            # reference sugoi.py:129-145 layout
             'archive': {
-                'jparacrawl/spm.ja.nopretok.model': '.',
-                'jparacrawl/spm.en.nopretok.model': '.',
+                'spm.ja.nopretok.model': 'jparacrawl/',
+                'spm.en.nopretok.model': 'jparacrawl/',
+                'big-ja-en': 'jparacrawl/big-ja-en',
+                'big-en-ja': 'jparacrawl/big-en-ja',
             },
         },
     }
@@ -140,9 +147,11 @@ class SugoiTranslator(JparacrawlBigTranslator):
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/sugoi-models.zip',
             'hash': '67e060a62dc16211157a5eaa4fa8f72c86db5999fc69322606a6fcdf57f587f7',
+            # reference sugoi.py:155-166 layout
             'archive': {
-                'sugoi/spm.ja.nopretok.model': '.',
-                'sugoi/spm.en.nopretok.model': '.',
+                'spm.ja.nopretok.model': 'sugoi/',
+                'spm.en.nopretok.model': 'sugoi/',
+                'big-ja-en': 'sugoi/big-ja-en',
             },
         },
     }
@@ -206,10 +215,12 @@ class M2M100Translator(_CT2Translator):
         'model': {
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/m2m100_418m_ct2.zip',
-            'hash': '8a9cd0e00505a7879f26e5a1b396b447bc29967783a1e17e8df5eecb0c13d1c3', 'archive-content': '.',
+            'hash': '8a9cd0e00505a7879f26e5a1b396b447bc29967783a1e17e8df5eecb0c13d1c3',
+            # reference m2m100.py:46-52: whole model dir at zip root
+            'archive': {'m2m100_418m/': '.'},
         },
     }
-    _CT2_MODEL_DIR = 'm2m100'
+    _CT2_MODEL_DIR = 'm2m100_418m'
 
     async def _load(self, device: str):
         from ..utils import spm_lite
@@ -226,12 +237,15 @@ class M2M100Translator(_CT2Translator):
 
     async def _infer(self, from_lang: str, to_lang: str,
                      queries: List[str]) -> List[str]:
-        # language-token prefix on source; target prefix emulated by
-        # stripping the leading lang token from the decode (reference
-        # m2m100.py:78-105)
+        # language-token prefix on source + FORCED target language prefix
+        # (reference m2m100.py:82-91: target_prefix=[[to_lang]]) — without
+        # the forcing the model free-runs and picks its own output
+        # language (ADVICE r2 high #2)
         tokenized = [[from_lang] + self.spm.encode(q, out_type=str)
                      for q in queries]
-        results = self.model.translate_batch(tokenized, beam_size=5)
+        results = self.model.translate_batch(
+            tokenized, beam_size=5,
+            target_prefix=[[to_lang]] * len(queries))
         out = []
         for toks in results:
             toks = [t for t in toks if not (t.startswith('__')
@@ -245,7 +259,8 @@ class M2M100BigTranslator(M2M100Translator):
         'model': {
             'url': 'https://github.com/zyddnys/manga-image-translator/releases'
                    '/download/beta-0.3/m2m100_12b_ct2.zip',
-            'hash': '742d5380c2837affd3680339145d37fc78f537ad633958347b76e9be9c577662', 'archive-content': '.',
+            'hash': '742d5380c2837affd3680339145d37fc78f537ad633958347b76e9be9c577662',
+            'archive': {'m2m100_12b/': '.'},
         },
     }
-    _CT2_MODEL_DIR = 'm2m100-big'
+    _CT2_MODEL_DIR = 'm2m100_12b'

@@ -87,32 +87,50 @@ class ModelWrapper(InfererModule):
     def _get_file_path(self, relative: str) -> Path:
         return self.model_dir / relative
 
-    def _mapping_file_path(self, map_key: str) -> Path:
+    def _archive_dest_path(self, member: str, dest: str) -> Path:
+        """Destination of an archive ``member`` mapped to ``dest``.
+
+        Reference semantics (``utils/inference.py:236-248``): a ``dest``
+        that names a directory ('.', './' or trailing '/') receives the
+        member under its own basename; otherwise ``dest`` is the full
+        target path (rename allowed). ``member`` may be a file or a
+        directory (trailing '/' optional)."""
+        base = os.path.basename(member.rstrip('/'))
+        if dest in ('.', './') or dest.endswith('/'):
+            return self.model_dir / dest / base
+        return self._get_file_path(dest)
+
+    def _mapping_paths(self, map_key: str) -> list:
+        """All filesystem artifacts a mapping is expected to produce."""
         mapping = self._MODEL_MAPPING[map_key]
         if 'archive' in mapping:
-            # first member of the archive is the canonical artifact
-            return self._get_file_path(next(iter(mapping['archive'])))
+            return [self._archive_dest_path(m, d)
+                    for m, d in mapping['archive'].items()]
         fname = mapping.get('file', '.')
         if fname == '.':
             fname = mapping['url'].split('/')[-1]
-        return self._get_file_path(fname)
+        return [self._get_file_path(fname)]
+
+    def _mapping_file_path(self, map_key: str) -> Path:
+        return self._mapping_paths(map_key)[0]
 
     # -- download ------------------------------------------------------------
     def is_downloaded(self) -> bool:
-        return all(self._mapping_file_path(k).is_file()
-                   for k in self._MODEL_MAPPING)
+        return all(p.exists()
+                   for k in self._MODEL_MAPPING
+                   for p in self._mapping_paths(k))
 
     async def download(self, force: bool = False):
         for key, mapping in self._MODEL_MAPPING.items():
-            path = self._mapping_file_path(key)
-            if path.is_file() and not force:
+            paths = self._mapping_paths(key)
+            if all(p.exists() for p in paths) and not force:
                 continue
             self.model_dir.mkdir(parents=True, exist_ok=True)
             url = mapping['url']
             self.logger.info(f'Downloading {url}')
             is_archive = 'archive' in mapping or url.endswith('.zip')
             target = (self.model_dir / url.split('/')[-1]
-                      if is_archive else path)
+                      if is_archive else paths[0])
             try:
                 self._download_file(url, target)
             except Exception as e:
@@ -124,12 +142,41 @@ class ModelWrapper(InfererModule):
                 self._extract_archive(target, mapping.get('archive'))
 
     def _extract_archive(self, archive_path: Path, members: Optional[Dict]):
+        """Unpack ``archive_path`` and move ``members`` (``{member: dest}``,
+        members may be files or whole directories) into the model dir,
+        mirroring the reference's move-from-extracted semantics
+        (``utils/inference.py:222-253``). Missing members are a hard error —
+        silently skipping them leaves the model undownloadable-but-
+        "downloaded" (ADVICE r2 high #1). With no mapping the whole archive
+        is extracted in place."""
+        import shutil
         import zipfile
-        with zipfile.ZipFile(archive_path) as zf:
-            names = list(members) if members else zf.namelist()
-            for name in names:
-                if name in zf.namelist():
-                    zf.extract(name, self.model_dir)
+        with tempfile.TemporaryDirectory(dir=self.model_dir) as td:
+            with zipfile.ZipFile(archive_path) as zf:
+                if not members:
+                    zf.extractall(self.model_dir)
+                else:
+                    zf.extractall(td)
+                    for member, dest in members.items():
+                        src = os.path.join(td, member.rstrip('/'))
+                        if not os.path.exists(src):
+                            avail = sorted(
+                                os.path.relpath(os.path.join(r, f), td)
+                                for r, _, fs in os.walk(td) for f in fs)
+                            raise ModelDownloadError(
+                                f'archive member "{member}" not found in '
+                                f'{archive_path.name}; available:\n'
+                                + '\n'.join(avail[:50]))
+                        dst = self._archive_dest_path(member, dest)
+                        if dst.is_file() and os.path.isfile(src):
+                            continue  # already provisioned by a prior key
+                        dst.parent.mkdir(parents=True, exist_ok=True)
+                        if dst.exists():
+                            if dst.is_dir():
+                                shutil.rmtree(dst)
+                            else:
+                                dst.unlink()
+                        shutil.move(src, str(dst))
         archive_path.unlink(missing_ok=True)
 
     def _download_file(self, url: str, path: Path):

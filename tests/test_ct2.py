@@ -173,6 +173,112 @@ def test_ct2_int8_dequant(tmp_path):
     assert err < np.abs(ref['decoder/projection/weight']).max() / 100
 
 
+def test_beam_target_prefix_and_start_token(tmp_path):
+    """target_prefix forces the first emitted token (m2m100 contract) and
+    config decoder_start_token overrides the decode start."""
+    from manga_image_translator_tpu.translators.ct2_model import (
+        Ct2Transformer, load_vocabulary, read_config, read_ct2_model)
+    build_ct2_model(tmp_path)
+    (tmp_path / 'config.json').write_text(json.dumps(
+        {'num_heads': 2, 'decoder_start_token': '</s>'}))
+    variables = read_ct2_model(str(tmp_path / 'model.bin'))
+    src, tgt = load_vocabulary(str(tmp_path))
+    model = Ct2Transformer(variables, read_config(str(tmp_path)), src, tgt)
+    assert model.start_id == model.eos_id    # '</s>' convention honored
+    out = model.translate_batch([['▁w0', '▁w1'], ['▁w2', '▁w3']],
+                                beam_size=3, max_len=8,
+                                target_prefix=[['▁w7'], ['▁w9']])
+    assert out[0][0] == '▁w7'
+    assert out[1][0] == '▁w9'
+
+
+def test_beam_sizes_agree_on_greedy_path(tmp_path):
+    """beam_size=1 reduces to greedy; larger beams return >= scoring
+    hypotheses (here: just must run and produce valid tokens)."""
+    from manga_image_translator_tpu.translators.ct2_model import (
+        Ct2Transformer, load_vocabulary, read_config, read_ct2_model)
+    build_ct2_model(tmp_path)
+    variables = read_ct2_model(str(tmp_path / 'model.bin'))
+    src, tgt = load_vocabulary(str(tmp_path))
+    model = Ct2Transformer(variables, read_config(str(tmp_path)), src, tgt)
+    g = model.translate_batch([['▁w0', '▁w1']], beam_size=1, max_len=8)
+    b5 = model.translate_batch([['▁w0', '▁w1']], beam_size=5, max_len=8)
+    assert len(g) == 1 and len(b5) == 1
+    for toks in g + b5:
+        assert all(t in src for t in toks)
+
+
+def _make_zip(path, entries):
+    import zipfile
+    with zipfile.ZipFile(path, 'w') as zf:
+        for name, payload in entries.items():
+            zf.writestr(name, payload)
+
+
+def test_archive_mappings_resolve_real_zip_layouts(tmp_path, monkeypatch):
+    """The sugoi/jparacrawl/m2m100 archive dicts must name members that
+    exist in the released zip layouts (root-level spm.*.nopretok.model +
+    ct2 model dirs — reference sugoi.py:18-29,134-145,155-166,
+    m2m100.py:46-52) and extraction must produce the directory layout
+    _load_pair reads (ADVICE r2 high #1)."""
+    from manga_image_translator_tpu.translators import ct2_offline
+    from manga_image_translator_tpu.utils import inference
+    monkeypatch.setattr(inference, 'MODULE_DIR', tmp_path)
+
+    layouts = {
+        ct2_offline.JparacrawlTranslator: {
+            'spm.ja.nopretok.model': b'ja', 'spm.en.nopretok.model': b'en',
+            'base-ja-en/model.bin': b'm', 'base-ja-en/config.json': b'{}',
+            'base-ja-en/shared_vocabulary.txt': b'v',
+            'base-en-ja/model.bin': b'm', 'base-en-ja/config.json': b'{}',
+            'base-en-ja/shared_vocabulary.txt': b'v',
+        },
+        ct2_offline.JparacrawlBigTranslator: {
+            'spm.ja.nopretok.model': b'ja', 'spm.en.nopretok.model': b'en',
+            'big-ja-en/model.bin': b'm', 'big-en-ja/model.bin': b'm',
+        },
+        ct2_offline.M2M100Translator: {
+            'm2m100_418m/model.bin': b'm',
+            'm2m100_418m/sentencepiece.model': b's',
+            'm2m100_418m/shared_vocabulary.txt': b'v',
+        },
+    }
+    for cls, zip_entries in layouts.items():
+        t = cls()
+        t.model_dir.mkdir(parents=True, exist_ok=True)
+        for key, mapping in cls._MODEL_MAPPING.items():
+            if key == 'model-sugoi':
+                continue
+            zp = t.model_dir / 'dl.zip'
+            _make_zip(zp, zip_entries)
+            t._extract_archive(zp, mapping['archive'])
+            assert t.is_downloaded(), cls.__name__
+
+    # the produced layout matches what _load_pair opens
+    jp = ct2_offline.JparacrawlTranslator()
+    assert jp._get_file_path('jparacrawl/spm.ja.nopretok.model').is_file()
+    assert jp._get_file_path('jparacrawl/base-ja-en/model.bin').is_file()
+    m2m = ct2_offline.M2M100Translator()
+    assert (m2m._get_file_path(m2m._CT2_MODEL_DIR) /
+            'sentencepiece.model').is_file()
+
+    # sugoi key: both its zips
+    sg = ct2_offline.SugoiTranslator()
+    zp = sg.model_dir / 'dl.zip'
+    _make_zip(zp, {'spm.ja.nopretok.model': b'j',
+                   'spm.en.nopretok.model': b'e',
+                   'big-ja-en/model.bin': b'm'})
+    sg._extract_archive(zp, sg._MODEL_MAPPING['model-sugoi']['archive'])
+    assert sg._get_file_path('sugoi/spm.ja.nopretok.model').is_file()
+    assert sg._get_file_path('sugoi/big-ja-en/model.bin').is_file()
+
+    # missing members are a HARD error, not a silent skip
+    from manga_image_translator_tpu.utils.inference import ModelDownloadError
+    _make_zip(zp, {'unrelated.txt': b'x'})
+    with pytest.raises(ModelDownloadError):
+        sg._extract_archive(zp, sg._MODEL_MAPPING['model-sugoi']['archive'])
+
+
 def test_sugoi_sentence_chunking():
     from manga_image_translator_tpu.translators.ct2_offline import \
         SugoiTranslator
