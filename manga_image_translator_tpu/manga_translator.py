@@ -802,6 +802,22 @@ class MangaTranslator:
             if not hasattr(detector, 'infer_batch'):
                 continue
             self._mark_used('detection', key[0])
+
+            def _collect(pending):
+                chunk, handle = pending
+                results = detector.infer_batch_collect(
+                    handle, key[1], key[2], key[3], key[4])
+                for i, res in zip(chunk, results):
+                    lines, raw_mask, mask = res
+                    out[i] = ([q for q in lines if q.area > 1],
+                              raw_mask, mask)
+
+            # software pipeline: dispatch chunk j's device forward, then run
+            # chunk j-1's HOST postprocess while j computes — the ~10 ms/page
+            # of contour/minAreaRect/unclip overlaps device time instead of
+            # serializing between device stages
+            pending = None
+            has_dispatch = hasattr(detector, 'infer_batch_dispatch')
             for start in range(0, len(indices), batch_size):
                 chunk = indices[start:start + batch_size]
                 imgs = []
@@ -810,17 +826,30 @@ class MangaTranslator:
                     rgb, _ = load_image(image)
                     imgs.append(rgb)
                 try:
-                    results = await detector.infer_batch(
-                        imgs, key[1], key[2], key[3], key[4],
-                        verbose=self.verbose)
+                    if has_dispatch:
+                        handle = await detector.infer_batch_dispatch(
+                            imgs, key[1])
+                        if pending is not None:
+                            _collect(pending)
+                        pending = (chunk, handle)
+                    else:
+                        results = await detector.infer_batch(
+                            imgs, key[1], key[2], key[3], key[4],
+                            verbose=self.verbose)
+                        for i, res in zip(chunk, results):
+                            lines, raw_mask, mask = res
+                            out[i] = ([q for q in lines if q.area > 1],
+                                      raw_mask, mask)
                 except Exception:
                     logger.warning('batched detection failed; falling back '
                                    f'to per-page:\n{traceback.format_exc()}')
                     continue
-                for i, res in zip(chunk, results):
-                    lines, raw_mask, mask = res
-                    out[i] = ([q for q in lines if q.area > 1],
-                              raw_mask, mask)
+            if pending is not None:
+                try:
+                    _collect(pending)
+                except Exception:
+                    logger.warning('batched detection failed; falling back '
+                                   f'to per-page:\n{traceback.format_exc()}')
         return out
 
     async def _translate_until_translation(self, config: Config,

@@ -159,13 +159,16 @@ def _irfft2_split(re: jax.Array, im: jax.Array, h: int, w: int):
             - _dft_einsum('nhkc,kw->nhwc', g_im, inv_sin_w))
 
 
-def _fu_pallas_mode() -> bool:
-    """Channel-major Pallas FourierUnit (ops/pallas_spectral) — MEASURED
-    4.5x SLOWER than the XLA split path on v5e (163.7 vs 35.9 ms for the
-    36-FU trunk: Mosaic's fp32 dot lowering + per-channel small matmuls
-    lose to XLA's fused HIGH-precision einsums). Kept as an opt-in
-    experiment: MIT_TPU_LAMA_FU=pallas."""
-    return os.environ.get('MIT_TPU_LAMA_FU', 'xla') == 'pallas'
+def _fu_pallas_mode() -> str:
+    """Channel-major Pallas FourierUnit (ops/pallas_spectral) modes:
+
+    * 'xla' (default): split re/im einsums (HIGH precision).
+    * 'pallas': fp32 Mosaic dots — MEASURED 4.5x SLOWER than XLA on v5e
+      (163.7 vs 35.9 ms for the 36-FU trunk); kept as an experiment.
+    * 'pallas3': bf16 hi/lo split-matmul kernels (3 MXU passes per dot,
+      ~XLA-HIGH accuracy) with batched W-stages — the round-3 candidate.
+    """
+    return os.environ.get('MIT_TPU_LAMA_FU', 'xla')
 
 
 def _fourier_unit_pallas(p: P, x: jax.Array,
@@ -173,7 +176,9 @@ def _fourier_unit_pallas(p: P, x: jax.Array,
     """Kernel-backed FourierUnit (same math as the split XLA path; see
     ops/pallas_spectral.py). Handles the trunk's n=1 activations; the
     conv quadrants and the BN+bias affine are folded host-of-kernel."""
-    from ..ops.pallas_spectral import fourier_unit_cm
+    from ..ops.pallas_spectral import fourier_unit_cm, fourier_unit_cm3
+    kernel_fn = (fourier_unit_cm3 if _fu_pallas_mode() == 'pallas3'
+                 else fourier_unit_cm)
     n, h, w, c = x.shape
     wt = p['conv_layer.weight'][0, 0].astype(jnp.float32)   # (2C, 2C)
     wrr = wt[0::2, 0::2].T
@@ -195,7 +200,7 @@ def _fourier_unit_pallas(p: P, x: jax.Array,
 
     def one(img):
         x_cm = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
-        out = fourier_unit_cm(
+        out = kernel_fn(
             x_cm, wrr, wir, wri, wii,
             scale[0::2].reshape(c, 1), shift[0::2].reshape(c, 1),
             scale[1::2].reshape(c, 1), shift[1::2].reshape(c, 1),
@@ -222,7 +227,7 @@ def _fourier_unit(p: P, x: jax.Array) -> jax.Array:
     """
     n, h, w, c = x.shape
     if (not _FFT_BF16 and c % 8 == 0 and h % 8 == 0
-            and _fu_pallas_mode()):
+            and _fu_pallas_mode() != 'xla'):
         return _fourier_unit_pallas(p, x)
     re, im = _rfft2_split(x.astype(jnp.float32))
     wt = p['conv_layer.weight']            # (1, 1, 2C, 2C) interleaved

@@ -232,7 +232,9 @@ class Model48pxOCR(OfflineOCR):
                                  beams_k=BEAMS, max_len=MAX_SEQ_LEN)
         out = {}
         for key in ret:
-            a = np.asarray(ret[key])
+            # np.asarray of a device array is a read-only view — copy
+            # before the row assignment below (measured crash on v5e)
+            a = np.array(ret[key])
             b = np.asarray(full[key])
             # time axes differ (fast vs MAX_SEQ_LEN) — pad fast result
             if a.ndim >= 2 and a.shape[1] != b.shape[1]:

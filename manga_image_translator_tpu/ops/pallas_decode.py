@@ -394,6 +394,10 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         out_specs=[pl.BlockSpec(memory_space=vm)] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=scratch + sems,
+        # the S=256 second-tier decode at n=160 sits ~100KB over the 16MB
+        # default scoped-vmem budget (measured crash on v5e); grant the
+        # small headroom the allocator needs for its stack
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=17 << 20),
         interpret=interpret,
     )(*args)
     return tuple(res) if vp else tuple(res) + (None,)

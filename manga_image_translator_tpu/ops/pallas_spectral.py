@@ -114,6 +114,182 @@ def _inv_kernel(yre_ref, yim_ref, ch_ref, sh_ref, icw_ref, isw_ref,
         out_ref[c] = _mm(g_re, icw) - _mm(g_im, isw)
 
 
+# --------------------------------------------------------------------------
+# Round-3 variant: manual bf16 split-matmul ("bf16x3") kernels
+# --------------------------------------------------------------------------
+#
+# The fp32 kernels above lose 4.5x to XLA because Mosaic's f32 dot lowering
+# has no fast path (and Precision.HIGH/HIGHEST are rejected). XLA's own
+# fp32 einsums run as THREE bf16 MXU passes (hi·hi + hi·lo + lo·hi, the
+# "bf16x3" trick, ~2^-17 relative error). These kernels do the same split
+# manually: constants (DFT matrices, conv quadrants) are pre-split on the
+# host, activations are split in-kernel with two VPU ops per operand.
+# The W-stages additionally batch all CB channels into one (CB·H, W)
+# matmul (M=1536: exact MXU tiling) instead of CB small ones.
+
+def _sp(x):
+    """bf16 hi/lo split of an f32 value (in-kernel)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _d(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _d3(ah, al, bh, bl):
+    """f32-accurate product of split operands: 3 bf16 MXU passes."""
+    return _d(ah, bh) + (_d(al, bh) + _d(ah, bl))
+
+
+def _split_np(m: np.ndarray):
+    import ml_dtypes
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m.astype(np.float32) - hi.astype(np.float32)).astype(
+        ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=8)
+def _mats3(h: int, w: int):
+    """Split-bf16 DFT operands (numpy, cached; jnp conversion at use)."""
+    cw, sw, ch, sh, icw, isw, kp = _mats(h, w)
+    return (tuple(_split_np(m) for m in (cw, sw, ch, sh, icw, isw)), kp)
+
+
+def _fwd3_kernel(x_ref, cwh_ref, cwl_ref, swh_ref, swl_ref,
+                 chh_ref, chl_ref, shh_ref, shl_ref, fre_ref, fim_ref,
+                 *, cb: int, h: int, kp: int):
+    xf = x_ref[:].reshape(cb * h, x_ref.shape[2])
+    xh, xl = _sp(xf)
+    f_re = _d3(xh, xl, cwh_ref[:], cwl_ref[:]).reshape(cb, h, kp)
+    f_im = (-_d3(xh, xl, swh_ref[:], swl_ref[:])).reshape(cb, h, kp)
+    chh = chh_ref[:]
+    chl = chl_ref[:]
+    shh = shh_ref[:]
+    shl = shl_ref[:]
+    for c in range(cb):
+        frh, frl = _sp(f_re[c])
+        fih, fil = _sp(f_im[c])
+        fre_ref[c] = _d3(chh, chl, frh, frl) + _d3(shh, shl, fih, fil)
+        fim_ref[c] = _d3(chh, chl, fih, fil) - _d3(shh, shl, frh, frl)
+
+
+def _conv3_kernel(fre_ref, fim_ref, wrrh_ref, wrrl_ref, wirh_ref, wirl_ref,
+                  wrih_ref, wril_ref, wiih_ref, wiil_ref,
+                  scr_ref, shr_ref, sci_ref, shi_ref, yre_ref, yim_ref,
+                  *, rb: int):
+    wrrh = wrrh_ref[:]
+    wrrl = wrrl_ref[:]
+    wirh = wirh_ref[:]
+    wirl = wirl_ref[:]
+    wrih = wrih_ref[:]
+    wril = wril_ref[:]
+    wiih = wiih_ref[:]
+    wiil = wiil_ref[:]
+    for r in range(rb):
+        arh, arl = _sp(fre_ref[:, r])
+        aih, ail = _sp(fim_ref[:, r])
+        y_re = _d3(wrrh, wrrl, arh, arl) + _d3(wirh, wirl, aih, ail)
+        y_im = _d3(wrih, wril, arh, arl) + _d3(wiih, wiil, aih, ail)
+        yre_ref[:, r] = jnp.maximum(
+            y_re * scr_ref[:, 0:1] + shr_ref[:, 0:1], 0.0)
+        yim_ref[:, r] = jnp.maximum(
+            y_im * sci_ref[:, 0:1] + shi_ref[:, 0:1], 0.0)
+
+
+def _inv3_kernel(yre_ref, yim_ref, chh_ref, chl_ref, shh_ref, shl_ref,
+                 icwh_ref, icwl_ref, iswh_ref, iswl_ref, out_ref,
+                 *, cb: int):
+    chh = chh_ref[:]
+    chl = chl_ref[:]
+    shh = shh_ref[:]
+    shl = shl_ref[:]
+    icwh = icwh_ref[:]
+    icwl = icwl_ref[:]
+    iswh = iswh_ref[:]
+    iswl = iswl_ref[:]
+    for c in range(cb):
+        yrh, yrl = _sp(yre_ref[c])
+        yih, yil = _sp(yim_ref[c])
+        # ch/sh are symmetric, so the inverse H-stage reuses them directly
+        g_re = _d3(chh, chl, yrh, yrl) - _d3(shh, shl, yih, yil)
+        g_im = _d3(chh, chl, yih, yil) + _d3(shh, shl, yrh, yrl)
+        grh, grl = _sp(g_re)
+        gih, gil = _sp(g_im)
+        out_ref[c] = (_d3(grh, grl, icwh, icwl)
+                      - _d3(gih, gil, iswh, iswl))
+
+
+def _split_traced(x):
+    """bf16 hi/lo split of a traced jnp array (host-of-kernel)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fourier_unit_cm3(x_cm: jax.Array, wrr, wir, wri, wii,
+                     scale_re, shift_re, scale_im, shift_im,
+                     interpret: bool = False) -> jax.Array:
+    """FourierUnit on channel-major (C, H, W) f32 planes — bf16x3 dots.
+
+    Same contract as fourier_unit_cm; ~XLA-HIGH precision (relative error
+    ~2^-17) via manual hi/lo bf16 splits instead of Mosaic's slow fp32
+    dot lowering.
+    """
+    c, h, w = x_cm.shape
+    assert c % CB == 0 and h % RB == 0, (c, h)
+    (mats, kp) = _mats3(h, w)
+    (cwh, cwl), (swh, swl), (chh, chl), (shh, shl), (icwh, icwl), \
+        (iswh, iswl) = [tuple(jnp.asarray(m) for m in pair)
+                        for pair in mats]
+    vm = pltpu.VMEM
+    f32 = jnp.float32
+    quads = []
+    for q in (wrr, wir, wri, wii):
+        quads.extend(_split_traced(q.astype(f32)))
+
+    f_re, f_im = pl.pallas_call(
+        functools.partial(_fwd3_kernel, cb=CB, h=h, kp=kp),
+        grid=(c // CB,),
+        in_specs=[pl.BlockSpec((CB, h, w), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [pl.BlockSpec(memory_space=vm)] * 8,
+        out_specs=[pl.BlockSpec((CB, h, kp), lambda i: (i, 0, 0),
+                                memory_space=vm)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((c, h, kp), f32)] * 2,
+        interpret=interpret,
+    )(x_cm, cwh, cwl, swh, swl, chh, chl, shh, shl)
+
+    y_re, y_im = pl.pallas_call(
+        functools.partial(_conv3_kernel, rb=RB),
+        grid=(h // RB,),
+        in_specs=[pl.BlockSpec((c, RB, kp), lambda i: (0, i, 0),
+                               memory_space=vm)] * 2
+        + [pl.BlockSpec(memory_space=vm)] * 12,
+        out_specs=[pl.BlockSpec((c, RB, kp), lambda i: (0, i, 0),
+                                memory_space=vm)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((c, h, kp), f32)] * 2,
+        interpret=interpret,
+    )(f_re, f_im, *quads, scale_re, shift_re, scale_im, shift_im)
+
+    out = pl.pallas_call(
+        functools.partial(_inv3_kernel, cb=CB),
+        grid=(c // CB,),
+        in_specs=[pl.BlockSpec((CB, h, kp), lambda i: (i, 0, 0),
+                               memory_space=vm)] * 2
+        + [pl.BlockSpec(memory_space=vm)] * 8,
+        out_specs=pl.BlockSpec((CB, h, w), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), f32),
+        interpret=interpret,
+    )(y_re, y_im, chh, chl, shh, shl, icwh, icwl, iswh, iswl)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def fourier_unit_cm(x_cm: jax.Array, wrr, wir, wri, wii,
                     scale_re, shift_re, scale_im, shift_im,

@@ -117,12 +117,15 @@ class TestTwoTierDecode:
                 seqs[0, 3] = ocr48.END_TOK        # row 0 finishes fast
             else:
                 seqs[:, 20] = ocr48.END_TOK
-            return {'sequences': seqs,
-                    'probs': np.full((n,), 0.5 if max_len == 8 else 0.9),
-                    'fg': np.full((n, max_len, 3), max_len, float),
-                    'bg': np.zeros((n, max_len, 3)),
-                    'fg_ind': np.zeros((n, max_len, 2)),
-                    'bg_ind': np.zeros((n, max_len, 2))}
+            # jnp arrays: np.asarray() views of device buffers are
+            # READ-ONLY — the merge must copy (measured crash on v5e)
+            import jax.numpy as jnp
+            return {'sequences': jnp.asarray(seqs),
+                    'probs': jnp.full((n,), 0.5 if max_len == 8 else 0.9),
+                    'fg': jnp.full((n, max_len, 3), float(max_len)),
+                    'bg': jnp.zeros((n, max_len, 3)),
+                    'fg_ind': jnp.zeros((n, max_len, 2)),
+                    'bg_ind': jnp.zeros((n, max_len, 2))}
 
         monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
         monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
@@ -138,6 +141,6 @@ class TestTwoTierDecode:
         # row 1 replaced by the full decode
         assert seqs[1, 20] == ocr48.END_TOK and seqs[1, 0] == 7
         assert float(ret['probs'][0]) == 0.5
-        assert float(ret['probs'][1]) == 0.9
+        assert abs(float(ret['probs'][1]) - 0.9) < 1e-6
         assert float(np.asarray(ret['fg'])[0, 0, 0]) == 8
         assert float(np.asarray(ret['fg'])[1, 0, 0]) == 255

@@ -100,6 +100,28 @@ class TestPipeline:
         for ctx in contexts:
             assert ctx.result is not None
 
+    def test_batch_predetect_pipelines_chunks(self):
+        """Multi-chunk predetect (dispatch chunk j, postprocess chunk j-1)
+        must produce the same results as chunk-at-a-time collection."""
+        translator = MangaTranslator({'use_gpu': False})
+        img = np.full((448, 416, 3), 255, np.uint8)
+        cv2.putText(img, 'CHUNK', (40, 100), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+                    (0, 0, 0), 3)
+        page = Image.fromarray(img)
+        pages = [(page, base_config()) for _ in range(4)]
+        pre2 = asyncio.run(translator._batch_predetect(pages, batch_size=2))
+        pre4 = asyncio.run(translator._batch_predetect(pages, batch_size=4))
+        assert set(pre2.keys()) == set(pre4.keys()) == {0, 1, 2, 3}
+        for i in pre2:
+            lines2, mask2, _ = pre2[i]
+            lines4, mask4, _ = pre4[i]
+            assert len(lines2) == len(lines4)
+            # batch-size 2 vs 4 convolutions differ at numeric noise level;
+            # a chunk-bookkeeping bug would differ wholesale
+            assert mask2.shape == mask4.shape
+            assert np.mean(np.abs(mask2.astype(int)
+                                  - mask4.astype(int))) < 2.0
+
     def test_batch_predetect_skips_small_and_filtered_pages(self):
         translator = MangaTranslator({'use_gpu': False})
         small = Image.fromarray(np.full((300, 300, 3), 255, np.uint8))
