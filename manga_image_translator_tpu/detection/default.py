@@ -63,6 +63,37 @@ def _preprocess_batch(imgs: jax.Array) -> jax.Array:
     return bilateral_filter_batch(imgs, 17, 80.0, 80.0)
 
 
+def _maps_batch(params: dict, canvases: jax.Array):
+    """bilateral prefilter + DBNet forward on (N, S, S, 3) uint8 pages —
+    the per-shard body of the multi-chip detection path."""
+    batch = bilateral_filter_batch(canvases, 17, 80.0, 80.0)
+    x = batch.astype(jnp.float32) / 127.5 - 1.0
+    db, mask = dbnet_forward(params, x)
+    return jax.nn.sigmoid(db[..., 0]), mask[..., 0]
+
+
+def _detect_maps(params: dict, canvases: np.ndarray):
+    """Prob/mask maps for a letterboxed page batch; shards the batch over
+    every visible chip when a serving mesh exists (parallel/mesh.get_mesh),
+    else one plain jitted forward. This is the production multi-chip
+    detection path (SURVEY §2.15 'Inter-page batching' TPU equivalent)."""
+    from ..parallel.mesh import data_parallel, get_mesh, mesh_devices
+    mesh = get_mesh()
+    canvases = jnp.asarray(canvases)
+    if mesh is None:
+        return _forward_batch(params, _preprocess_batch(canvases))
+    nd = mesh_devices(mesh)
+    n = canvases.shape[0]
+    pad = (-n) % nd
+    if pad:
+        canvases = jnp.concatenate(
+            [canvases, jnp.zeros((pad,) + canvases.shape[1:],
+                                 canvases.dtype)])
+    prob, mask = data_parallel(_maps_batch, mesh, 1,
+                               key='dbnet.maps')(params, canvases)
+    return prob[:n], mask[:n]
+
+
 class DefaultDetector(OfflineDetector):
     """DBNet-ResNet34 'default' detector."""
 
@@ -159,8 +190,7 @@ class DefaultDetector(OfflineDetector):
             canvases[i, :th, :tw] = cv2.resize(
                 image, (tw, th), interpolation=cv2.INTER_LINEAR)
             metas.append((ratio, th, tw))
-        batch = _preprocess_batch(jnp.asarray(canvases))
-        prob, mask = _forward_batch(self.params, batch)
+        prob, mask = _detect_maps(self.params, canvases)
         return {'metas': metas, 'prob': prob, 'mask': mask}
 
     def infer_batch_collect(self, handle, detect_size: int,

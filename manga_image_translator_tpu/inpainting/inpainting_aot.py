@@ -22,12 +22,14 @@ from .common import OfflineInpainter
 PAD_SIZE = 8
 
 
-@functools.partial(jax.jit, static_argnames=('dtype',))
-def _aot_forward(params, img, mask, dtype):
+def _aot_body(params, img, mask, dtype=jnp.bfloat16):
     img = img.astype(dtype) * (1.0 - mask.astype(dtype))
     out = aot.aot_generator_forward(params, img, mask.astype(dtype))
     out = out.astype(jnp.float32)
     return out * mask + (1.0 - mask) * img.astype(jnp.float32)
+
+
+_aot_forward = jax.jit(_aot_body, static_argnames=('dtype',))
 
 
 class AotInpainter(OfflineInpainter):
@@ -88,3 +90,16 @@ class AotInpainter(OfflineInpainter):
                                        interpolation=cv2.INTER_LINEAR)
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        from ..parallel.mesh import sharded_batch
+        img_j = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+        mask_j = (jnp.asarray(masks, jnp.float32)[..., None]
+                  / 255.0 >= 0.5).astype(jnp.float32)
+        out = sharded_batch(
+            _aot_body, 'aot.batch', self.params, img_j, mask_j,
+            jit_fallback=functools.partial(_aot_forward,
+                                           dtype=jnp.bfloat16))
+        return np.asarray(jnp.clip(
+            jnp.round((out + 1.0) * 127.5), 0, 255).astype(jnp.uint8))

@@ -26,13 +26,27 @@ from .common import OfflineInpainter
 PAD_SIZE = 8
 
 
-@functools.partial(jax.jit, static_argnames=('n_blocks', 'dtype'))
-def _lama_forward(params, img, mask, n_blocks, dtype):
+def _lama_body(params, img, mask, n_blocks, dtype):
     img = img.astype(dtype) * (1.0 - mask.astype(dtype))
     out = lama.lama_generator_forward(params, img, mask.astype(dtype),
                                       n_blocks=n_blocks)
     out = out.astype(jnp.float32)
     return out * mask + (1.0 - mask) * img.astype(jnp.float32)
+
+
+_lama_forward = jax.jit(_lama_body, static_argnames=('n_blocks', 'dtype'))
+
+
+def _lama_mpe_body(params, img, mask, rel_emb, dir_emb, n_blocks, dtype):
+    img = img.astype(dtype) * (1.0 - mask.astype(dtype))
+    out = lama.lama_generator_forward(
+        params, img, mask.astype(dtype), n_blocks=n_blocks,
+        rel_pos_emb=rel_emb, direct_emb=dir_emb).astype(jnp.float32)
+    return out * mask + (1.0 - mask) * img.astype(jnp.float32)
+
+
+_lama_mpe_forward = jax.jit(_lama_mpe_body,
+                            static_argnames=('n_blocks', 'dtype'))
 
 
 class LamaLargeInpainter(OfflineInpainter):
@@ -111,6 +125,23 @@ class LamaLargeInpainter(OfflineInpainter):
                                        interpolation=cv2.INTER_LINEAR)
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        from ..parallel.mesh import sharded_batch
+        dtype = self._compute_dtype(config)
+        n_blocks = self._N_BLOCKS
+        img_j = jnp.asarray(imgs, jnp.float32) / 255.0
+        mask_j = (jnp.asarray(masks, jnp.float32)[..., None]
+                  / 255.0 >= 0.5).astype(jnp.float32)
+        out = sharded_batch(
+            functools.partial(_lama_body, n_blocks=n_blocks, dtype=dtype),
+            ('lama.batch', n_blocks, dtype.__name__),
+            self.params, img_j, mask_j,
+            jit_fallback=functools.partial(_lama_forward,
+                                           n_blocks=n_blocks, dtype=dtype))
+        return np.asarray(
+            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
 
 
 class LamaMPEInpainter(LamaLargeInpainter):
@@ -195,6 +226,30 @@ class LamaMPEInpainter(LamaLargeInpainter):
                                        interpolation=cv2.INTER_LINEAR)
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        from ..parallel.mesh import sharded_batch
+        dtype = self._compute_dtype(config)
+        mask_bin = ((masks.astype(np.float32) / 255.0) >= 0.5).astype(
+            np.float32)
+        encs = [lama.masked_position_encoding(m) for m in mask_bin]
+        rel_emb, dir_emb = lama.mpe_embeddings(
+            self.mpe_params,
+            jnp.asarray(np.stack([e[0] for e in encs])),
+            jnp.asarray(np.stack([e[1] for e in encs])))
+        img_j = jnp.asarray(imgs, jnp.float32) / 255.0
+        mask_j = jnp.asarray(mask_bin)[..., None]
+        out = sharded_batch(
+            functools.partial(_lama_mpe_body, n_blocks=self._N_BLOCKS,
+                              dtype=dtype),
+            ('lama.mpe.batch', self._N_BLOCKS, dtype.__name__),
+            self.params, img_j, mask_j, rel_emb, dir_emb,
+            jit_fallback=functools.partial(_lama_mpe_forward,
+                                           n_blocks=self._N_BLOCKS,
+                                           dtype=dtype))
+        return np.asarray(
+            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
 
 
 def _pick_gen(sd):

@@ -751,7 +751,18 @@ class MangaTranslator:
             await self._batch_translate_contexts(contexts, configs,
                                                  batch_size)
 
-        # Phase 3: completion
+        # Phase 3a (TPU page-parallel, no reference equivalent): same-config
+        # pages inpaint as ONE batched device forward, sharded over every
+        # visible chip when a serving mesh exists (parallel/mesh). Pages the
+        # batch can't take (different sizes/configs, failures) fall through
+        # to the per-page path below untouched.
+        try:
+            await self._batch_inpaint(contexts, configs)
+        except Exception:
+            logger.error(f'batched inpaint failed, falling back to '
+                         f'per-page:\n{traceback.format_exc()}')
+
+        # Phase 3b: per-page completion
         for ctx, config in zip(contexts, configs):
             try:
                 await self._complete_translation_pipeline(config, ctx)
@@ -762,6 +773,57 @@ class MangaTranslator:
                     raise
                 ctx.result = ctx.get('upscaled', ctx.input)
         return contexts
+
+    async def _batch_inpaint(self, contexts: List[Context],
+                             configs: List[Config]):
+        """Group pages by (inpainter, size, precision), refine their masks,
+        and run each group's inpaint as one batched (mesh-sharded) forward.
+        Sets ``ctx.img_inpainted`` on success; the per-page completion
+        pipeline skips inpainting for those pages."""
+        from . import inpainting
+
+        groups: dict = {}
+        for i, (ctx, config) in enumerate(zip(contexts, configs)):
+            if not ctx.get('text_regions') or ctx.get('img_inpainted') \
+                    is not None:
+                continue
+            key = (config.inpainter.inpainter,
+                   config.inpainter.inpainting_size,
+                   config.inpainter.inpainting_precision)
+            groups.setdefault(key, []).append(i)
+
+        for key, indices in groups.items():
+            if len(indices) < 2:
+                continue
+            inpainter = inpainting.get_inpainter(key[0])
+            if not getattr(inpainter, 'supports_batch', False):
+                continue
+            self._mark_used('inpainting', key[0])
+
+            ready = []
+            for i in indices:
+                ctx, config = contexts[i], configs[i]
+                try:
+                    if ctx.mask is None:
+                        ctx.mask = await self._run_mask_refinement(config,
+                                                                   ctx)
+                    ready.append(i)
+                except Exception:
+                    logger.error(f'mask refinement failed for page {i}:\n'
+                                 f'{traceback.format_exc()}')
+            if len(ready) < 2:
+                continue
+
+            from .inpainting.common import OfflineInpainter
+            if isinstance(inpainter, OfflineInpainter):
+                await inpainter.load(self.device)
+            results = await inpainter.infer_batch(
+                [contexts[i].img_rgb for i in ready],
+                [contexts[i].mask for i in ready],
+                configs[ready[0]].inpainter,
+                key[1])
+            for i, out in zip(ready, results):
+                contexts[i].img_inpainted = out
 
     async def _batch_predetect(self, images_with_configs, batch_size: int):
         """Batched detection pre-pass. Returns {page_idx: (lines, raw, mask)}
@@ -941,7 +1003,8 @@ class MangaTranslator:
         ctx.text_regions = keep
         if ctx.mask is None:
             ctx.mask = await self._run_mask_refinement(config, ctx)
-        ctx.img_inpainted = await self._run_inpainting(config, ctx)
+        if ctx.get('img_inpainted') is None:   # batch phase 3a may have run
+            ctx.img_inpainted = await self._run_inpainting(config, ctx)
         ctx.gimp_mask = np.dstack(
             (cv2.cvtColor(ctx.img_inpainted, cv2.COLOR_RGB2BGR), ctx.mask))
         ctx.img_rendered = await self._run_text_rendering(config, ctx)

@@ -362,6 +362,156 @@ def _packed_conv(x: jax.Array, w: jax.Array, b: jax.Array, relu_: bool,
     return out[:, :out_h, :out_w, :co]
 
 
+# --------------------------------------------------------------------------
+# Space-to-depth phase-packed shell (round 3)
+#
+# XLA runs the LaMa shell far off roofline: the stem is a full-res 7x7 conv
+# with 4 input channels (lane-padded contraction), the three downsamples are
+# stride-2 convs (XLA's stride handling). Re-expressing them on the s=2
+# space-to-depth grid makes every conv a stride-1 VALID conv with
+# 128-multiple channel counts — identical arithmetic, reindexed:
+#   stem:  (771², 16) -> 4x4 conv -> (768², 256)   [4 output phases packed]
+#   downN: cells -> 2x2 conv -> half-grid, normal layout
+# The downsamples' reflect padding (1px at full res) becomes one synthetic
+# top/left CELL whose used phase holds the reflected row/col.
+# --------------------------------------------------------------------------
+
+def _s2d2(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C); channel order (ay, ax, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _d2s2(x: jax.Array, co: int) -> jax.Array:
+    """inverse of _s2d2 for channel order (py, px, co)."""
+    n, hc, wc, _ = x.shape
+    x = x.reshape(n, hc, wc, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hc * 2, wc * 2, co)
+
+
+def _pack_w_stem_s2(w: jax.Array) -> jax.Array:
+    """(7,7,ci,co) stride-1 kernel -> (4,4,4ci,4co) cell kernel producing
+    all 4 output phases: wp[dy,dx,(ay,ax,ci),(py,px,co)] = w[2dy+ay-py,
+    2dx+ax-px] (zero outside)."""
+    kh, kw, ci, co = w.shape
+    wpad = jnp.pad(w, ((1, 8 - kh), (1, 8 - kw), (0, 0), (0, 0)))
+    phases = []
+    for py in range(2):
+        for px in range(2):
+            sl = jax.lax.dynamic_slice(
+                wpad, (1 - py, 1 - px, 0, 0), (8, 8, ci, co))
+            sl = sl.reshape(4, 2, 4, 2, ci, co).transpose(0, 2, 1, 3, 4, 5)
+            phases.append(sl.reshape(4, 4, 4 * ci, co))
+    return jnp.concatenate(phases, axis=-1)        # co order (py, px, co)
+
+
+def _pack_w_down_s2(w: jax.Array) -> jax.Array:
+    """(3,3,ci,co) stride-2 pad-1 kernel -> (2,2,4ci,co) cell kernel over a
+    top/left cell-padded grid: wp[dy,ax?] = w[2dy+ay-1, 2dx+ax-1]."""
+    ci, co = w.shape[2], w.shape[3]
+    wpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))          # (4,4)
+    wp = wpad.reshape(2, 2, 2, 2, ci, co).transpose(0, 2, 1, 3, 4, 5)
+    return wp.reshape(2, 2, 4 * ci, co)
+
+
+def _cell_reflect_pad(x: jax.Array, c: int) -> jax.Array:
+    """Prepend one synthetic top cell row + left cell column emulating 1px
+    full-res reflect padding: the used phase carries the reflected line
+    (full row -1 == row 1 == cell 0's phase-1), the unused phase is zero
+    (its packed weights are zero)."""
+    n, hc, wc, _ = x.shape
+    v = x.reshape(n, hc, wc, 2, 2, c)
+    top = jnp.concatenate(
+        [jnp.zeros_like(v[:, :1, :, :1]), v[:, :1, :, 1:2]], axis=3)
+    v = jnp.concatenate([top, v], axis=1)
+    left = jnp.concatenate(
+        [jnp.zeros_like(v[:, :, :1, :, :1]), v[:, :, :1, :, 1:2]], axis=4)
+    v = jnp.concatenate([left, v], axis=2)
+    return v.reshape(n, hc + 1, wc + 1, 4 * c)
+
+
+def _conv_valid(x: jax.Array, w: jax.Array,
+                b: Optional[jax.Array] = None) -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def _bn_maybe(p: P, key: str, x: jax.Array, tile: int = 1) -> jax.Array:
+    if f'{key}.running_mean' not in p:
+        return x
+    if tile == 1:
+        return p.bn(key, x)
+    mean = jnp.tile(p[f'{key}.running_mean'], tile)
+    var = jnp.tile(p[f'{key}.running_var'], tile)
+    w = jnp.tile(p[f'{key}.weight'], tile)
+    b = jnp.tile(p[f'{key}.bias'], tile)
+    scale = (w / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+    shift = (b - mean * w / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+    return x * scale + shift
+
+
+def _down_s2d(p: P, x_cells: jax.Array, ci: int) -> jax.Array:
+    """One stride-2 downsample conv on the cell grid (input already s2d;
+    output in NORMAL layout at the half grid, pre-BN)."""
+    xp = _cell_reflect_pad(x_cells, ci)
+    return _conv_valid(xp, _pack_w_down_s2(p['ffc.convl2l.weight']),
+                       p['ffc.convl2l.bias']
+                       if 'ffc.convl2l.bias' in p else None)
+
+
+def _s2d_shell_mode() -> bool:
+    """Space-to-depth shell: default ON (same arithmetic as the direct
+    convs; kill switch MIT_TPU_LAMA_S2D=0)."""
+    return os.environ.get('MIT_TPU_LAMA_S2D', '1') == '1'
+
+
+def _shell_s2d(p: P, x_padded: jax.Array,
+               rel_pos_emb: Optional[jax.Array],
+               direct_emb: Optional[jax.Array]):
+    """stem + 3 downsamples on the s2d grid. x_padded: reflect-padded-by-3
+    input (N, H+6, W+6, 4). Returns (x_l, x_g) at H/8."""
+    xs = _s2d2(x_padded)
+    w_stem = _pack_w_stem_s2(p['model.1.ffc.convl2l.weight'])
+    b_stem = (jnp.tile(p['model.1.ffc.convl2l.bias'], 4)
+              if 'model.1.ffc.convl2l.bias' in p else None)
+    y = _conv_valid(xs, w_stem, b_stem)            # (H/2, W/2, 4*NGF) cells
+    y = _bn_maybe(p, 'model.1.bn_l', y, tile=4)
+    y = relu(y)
+    if rel_pos_emb is not None:
+        y = y + _s2d2(rel_pos_emb.astype(y.dtype))
+    if direct_emb is not None:
+        y = y + _s2d2(direct_emb.astype(y.dtype))
+
+    # model.2: cells already in hand
+    y = _down_s2d(p.scope('model.2'), y, NGF)      # (H/2, W/2, 2NGF) normal
+    y = relu(_bn_maybe(p, 'model.2.bn_l', y))
+    # model.3
+    y = _down_s2d(p.scope('model.3'), _s2d2(y), 2 * NGF)
+    y = relu(_bn_maybe(p, 'model.3.bn_l', y))
+    # model.4 splits local/global: one packed conv over concatenated
+    # output channels, then slice
+    p4 = p.scope('model.4')
+    wl = p4['ffc.convl2l.weight']
+    wg = p4['ffc.convl2g.weight']
+    co_l = wl.shape[3]
+    wcat = jnp.concatenate([wl, wg], axis=3)
+    bl = p4['ffc.convl2l.bias'] if 'ffc.convl2l.bias' in p4 else None
+    bg = p4['ffc.convl2g.bias'] if 'ffc.convl2g.bias' in p4 else None
+    bcat = (jnp.concatenate([bl, bg]) if bl is not None else None)
+    yc = _cell_reflect_pad(_s2d2(y), 4 * NGF)
+    out = _conv_valid(yc, _pack_w_down_s2(wcat), bcat)
+    x_l, x_g = out[..., :co_l], out[..., co_l:]
+    x_l = relu(_bn_maybe(p4, 'bn_l', x_l))
+    x_g = relu(_bn_maybe(p4, 'bn_g', x_g))
+    return x_l, x_g
+
+
 def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
                            n_blocks: int = 18,
                            rel_pos_emb: Optional[jax.Array] = None,
@@ -380,25 +530,29 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
 
     # model.0 reflection pad + model.1 stem FFC (all-local)
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
-    if pallas_stem:
-        x_l = _packed_conv(x, params['pallas.stem.weight'],
-                           params['pallas.stem.bias'], True, H, W, NGF)
-        x_g = None
+    if _s2d_shell_mode() and H % 8 == 0 and W % 8 == 0 and not pallas_stem:
+        x_l, x_g = _shell_s2d(p, x, rel_pos_emb, direct_emb)
     else:
-        x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0, padding=0)
+        if pallas_stem:
+            x_l = _packed_conv(x, params['pallas.stem.weight'],
+                               params['pallas.stem.bias'], True, H, W, NGF)
+            x_g = None
+        else:
+            x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0,
+                                   padding=0)
 
-    if rel_pos_emb is not None:
-        x_l = x_l + rel_pos_emb.astype(x_l.dtype)
-    if direct_emb is not None:
-        x_l = x_l + direct_emb.astype(x_l.dtype)
+        if rel_pos_emb is not None:
+            x_l = x_l + rel_pos_emb.astype(x_l.dtype)
+        if direct_emb is not None:
+            x_l = x_l + direct_emb.astype(x_l.dtype)
 
-    # downsampling: model.2, model.3 all-local; model.4 splits local/global
-    x_l, x_g = _ffc_bn_act(p.scope('model.2'), x_l, None, 0, 0,
-                           stride=2, padding=1)
-    x_l, x_g = _ffc_bn_act(p.scope('model.3'), x_l, None, 0, 0,
-                           stride=2, padding=1)
-    x_l, x_g = _ffc_bn_act(p.scope('model.4'), x_l, None, 0, RESNET_RATIO,
-                           stride=2, padding=1)
+        # downsampling: model.2/3 all-local; model.4 splits local/global
+        x_l, x_g = _ffc_bn_act(p.scope('model.2'), x_l, None, 0, 0,
+                               stride=2, padding=1)
+        x_l, x_g = _ffc_bn_act(p.scope('model.3'), x_l, None, 0, 0,
+                               stride=2, padding=1)
+        x_l, x_g = _ffc_bn_act(p.scope('model.4'), x_l, None, 0,
+                               RESNET_RATIO, stride=2, padding=1)
 
     for i in range(n_blocks):
         x_l, x_g = _resnet_block(p.scope(f'model.{5 + i}'), x_l, x_g)

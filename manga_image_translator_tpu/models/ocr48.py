@@ -656,6 +656,12 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
     # XLA's one (E,V) matmul beats chunked DMA'd matmuls) — opt-in only.
     kernel_charhead = (os.environ.get('MIT_TPU_OCR_KERNEL_CHARHEAD', '0')
                        == '1')
+    # Fused char-head top-k kernel (ops/pallas_charhead): one launch
+    # replaces the per-step XLA epilogue chain (pred1+gelu, (E,V) matmul,
+    # top_k, logsumexp) without materializing (N, V) logits. Unlike the
+    # in-kernel charhead above it runs as a SEPARATE pipelined launch.
+    kernel_topk = (not kernel_charhead and os.environ.get(
+        'MIT_TPU_OCR_KERNEL_TOPK', '1') == '1')
     vocab = params['embd.weight'].shape[0]
     vp = -(-vocab // 128) * 128 if kernel_charhead else 0
     wout = params['embd.weight'].T
@@ -697,6 +703,11 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
                                      out=outc)
         if kernel_charhead:
             return logits, new_caches
+        if kernel_topk:
+            # hand the EP-padded last-layer output straight to the fused
+            # top-k kernel (its zero-padded pred1 rows annihilate any
+            # garbage in the pad lanes)
+            return out.astype(jnp.bfloat16), new_caches
         return out_e, new_caches
 
     def topk_from_logits(logits, k):
@@ -707,6 +718,22 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
     if kernel_charhead:
         char_lp = lambda logits: jax.nn.log_softmax(logits, axis=-1)
         char_tk = topk_from_logits
+    elif kernel_topk:
+        from ..ops.pallas_charhead import char_topk_fused, prepare_charhead
+        w1p, b1p, wvp, bvp = prepare_charhead(params, ep=pd.EP)
+
+        def char_tk(dec, k):
+            nkr = dec.shape[0]
+            pad = (-nkr) % 8
+            if pad:
+                dec = jnp.concatenate(
+                    [dec, jnp.zeros((pad, dec.shape[1]), dec.dtype)])
+            v, i = char_topk_fused(dec, w1p, b1p, wvp, bvp, k=k,
+                                   interpret=interpret)
+            return v[:nkr], i[:nkr]
+
+        char_lp = lambda dec: char_logprobs(params, dec[:, :EMBD_DIM],
+                                            wout)
     else:
         char_lp = lambda dec: char_logprobs(params, dec, wout)
         char_tk = lambda dec, k: char_topk(params, dec, k, wout)
@@ -912,6 +939,47 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
         'probs': jnp.exp(state.best_logprob),
         'fg': fg, 'bg': bg, 'fg_ind': fg_ind, 'bg_ind': bg_ind,
     }
+
+
+def sharded_beam_decode(params: Dict, images: jax.Array,
+                        valid_widths: jax.Array, beams_k: int = 5,
+                        max_len: int = 255, max_finished_hypos: int = 2):
+    """beam_decode, data-parallel over every visible chip.
+
+    When the process sees a multi-device mesh (parallel/mesh.get_mesh),
+    the crop batch is padded to a device multiple and the FULL decode
+    program (backbone + encoder + beam while_loop, Pallas kernels
+    included) runs per-shard under shard_map — each chip decodes its crop
+    slice with zero collectives. Single-device: plain beam_decode.
+    This is the production multi-chip OCR path (SURVEY §2.15
+    "Intra-page micro-batching" TPU equivalent)."""
+    from ..parallel.mesh import data_parallel, get_mesh, mesh_devices
+    mesh = get_mesh()
+    n = images.shape[0]
+    if mesh is None:
+        return beam_decode(params, images, valid_widths, beams_k=beams_k,
+                           max_len=max_len,
+                           max_finished_hypos=max_finished_hypos)
+    nd = mesh_devices(mesh)
+    pad = (-n) % nd
+    if pad:
+        # zero crops decode to </S> on step 1 — cheap padding rows
+        images = jnp.concatenate(
+            [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        valid_widths = jnp.concatenate(
+            [valid_widths, jnp.zeros((pad,), valid_widths.dtype)])
+
+    def fn(p, im, w):
+        return beam_decode(p, im, w, beams_k=beams_k, max_len=max_len,
+                           max_finished_hypos=max_finished_hypos)
+
+    ret = data_parallel(
+        fn, mesh, 2,
+        key=('ocr48.beam', beams_k, max_len, max_finished_hypos))(
+            params, images, valid_widths)
+    if pad:
+        ret = {k: v[:n] for k, v in ret.items()}
+    return ret
 
 
 # --------------------------------------------------------------------------

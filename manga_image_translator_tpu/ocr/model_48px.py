@@ -217,8 +217,8 @@ class Model48pxOCR(OfflineOCR):
         sequence that terminates within the short budget.
         """
         fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
-        ret = ocr48.beam_decode(self.params, images, valid_widths,
-                                beams_k=BEAMS, max_len=fast)
+        ret = ocr48.sharded_beam_decode(self.params, images, valid_widths,
+                                        beams_k=BEAMS, max_len=fast)
         if fast >= MAX_SEQ_LEN:
             return ret
         seqs = np.asarray(ret['sequences'])
@@ -228,8 +228,9 @@ class Model48pxOCR(OfflineOCR):
             return ret
         self.logger.info(f'{int(unfinished.sum())} lines exceeded '
                          f'{fast} tokens — re-decoding at {MAX_SEQ_LEN}')
-        full = ocr48.beam_decode(self.params, images, valid_widths,
-                                 beams_k=BEAMS, max_len=MAX_SEQ_LEN)
+        full = ocr48.sharded_beam_decode(self.params, images, valid_widths,
+                                         beams_k=BEAMS,
+                                         max_len=MAX_SEQ_LEN)
         out = {}
         for key in ret:
             # np.asarray of a device array is a read-only view — copy

@@ -86,7 +86,7 @@ class TestTwoTierDecode:
         from manga_image_translator_tpu.models import ocr48
         calls = []
 
-        def fake_beam(params, images, widths, beams_k, max_len):
+        def fake_beam(params, images, widths, beams_k, max_len, **kw):
             calls.append(max_len)
             seqs = np.full((2, max_len), ocr48.END_TOK)
             return {'sequences': seqs, 'probs': np.ones((2,)),
@@ -95,6 +95,7 @@ class TestTwoTierDecode:
                     'fg_ind': np.zeros((2, max_len, 2)),
                     'bg_ind': np.zeros((2, max_len, 2))}
 
+        monkeypatch.setenv('MIT_TPU_MESH', '0')
         monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
         monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
         monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
@@ -109,7 +110,7 @@ class TestTwoTierDecode:
         from manga_image_translator_tpu.models import ocr48
         calls = []
 
-        def fake_beam(params, images, widths, beams_k, max_len):
+        def fake_beam(params, images, widths, beams_k, max_len, **kw):
             calls.append(max_len)
             n = 2
             seqs = np.full((n, max_len), 7)       # no END anywhere
@@ -127,6 +128,7 @@ class TestTwoTierDecode:
                     'fg_ind': jnp.zeros((n, max_len, 2)),
                     'bg_ind': jnp.zeros((n, max_len, 2))}
 
+        monkeypatch.setenv('MIT_TPU_MESH', '0')
         monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
         monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
         monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)

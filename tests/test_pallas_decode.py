@@ -64,13 +64,40 @@ def test_pallas_decode_matches_reference():
         assert float(jnp.max(logits[:, ref_lp.shape[1]:])) < -1e8
 
 
-@pytest.mark.parametrize('kernel_charhead', ['0', '1'])
-def test_beam_decode_pallas_harness_matches_xla(monkeypatch,
-                                                kernel_charhead):
+def test_char_topk_fused_matches_xla():
+    """ops/pallas_charhead.char_topk_fused (interpret) vs the XLA
+    char_topk: same top-k indices and logprobs on random weights."""
+    from manga_image_translator_tpu.ops.pallas_charhead import (
+        char_topk_fused, prepare_charhead)
+    params = ocr48.init_params(dict_size=300)
+    rs = np.random.RandomState(11)
+    nk, e, ep = 16, ocr48.EMBD_DIM, 384
+    dec = rs.randn(nk, ep).astype(np.float32) * 0.5
+    dec[:, e:] = 0.0
+    dec_b = jnp.asarray(dec, jnp.bfloat16)
+
+    ref_v, ref_i = ocr48.char_topk(params, dec_b[:, :e], 5,
+                                   params['embd.weight'].T)
+    w1p, b1p, wvp, bvp = prepare_charhead(params, ep=ep)
+    got_v, got_i = char_topk_fused(dec_b, w1p, b1p, wvp, bvp, k=5,
+                                   interpret=True)
+    assert np.array_equal(np.asarray(ref_i), np.asarray(got_i)), (
+        ref_i, got_i)
+    np.testing.assert_allclose(np.asarray(ref_v), np.asarray(got_v),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize('mode', ['xla-head', 'in-kernel-head',
+                                  'fused-topk'])
+def test_beam_decode_pallas_harness_matches_xla(monkeypatch, mode):
     """Full beam_decode through the Pallas harness (interpret) must yield
     the same sequences/probs as the XLA decode path on a tiny model —
-    with the char head in XLA and fused into the kernel."""
-    monkeypatch.setenv('MIT_TPU_OCR_KERNEL_CHARHEAD', kernel_charhead)
+    with the char head in XLA, fused into the decode kernel, and as the
+    separate fused top-k launch."""
+    monkeypatch.setenv('MIT_TPU_OCR_KERNEL_CHARHEAD',
+                       '1' if mode == 'in-kernel-head' else '0')
+    monkeypatch.setenv('MIT_TPU_OCR_KERNEL_TOPK',
+                       '1' if mode == 'fused-topk' else '0')
     n = 2
     params = ocr48.init_params(dict_size=48)
     rs = np.random.RandomState(7)

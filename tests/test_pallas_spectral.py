@@ -30,6 +30,36 @@ def _fu_params(c, rs):
     }
 
 
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('mpe', [False, True])
+def test_s2d_shell_matches_direct(fold, mpe, monkeypatch):
+    """The space-to-depth phase-packed shell (stem + 3 downsamples on the
+    cell grid) is an exact reindexing of the direct convs — outputs must
+    match to float rounding, with and without folded BN and MPE
+    embeddings."""
+    params = lama.init_params(n_blocks=2, dtype=jnp.float32)
+    if fold:
+        params = lama.fold_bn(params, n_blocks=2)
+    rs = np.random.RandomState(3)
+    img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(1, 64, 64, 1) < 0.2).astype(np.float32))
+    kw = {}
+    if mpe:
+        kw['rel_pos_emb'] = jnp.asarray(
+            rs.rand(1, 64, 64, lama.NGF).astype(np.float32) * 0.1)
+        kw['direct_emb'] = jnp.asarray(
+            rs.rand(1, 64, 64, lama.NGF).astype(np.float32) * 0.1)
+
+    monkeypatch.setenv('MIT_TPU_LAMA_S2D', '0')
+    ref = lama.lama_generator_forward(params, img * (1 - mask), mask,
+                                      n_blocks=2, **kw)
+    monkeypatch.setenv('MIT_TPU_LAMA_S2D', '1')
+    got = lama.lama_generator_forward(params, img * (1 - mask), mask,
+                                      n_blocks=2, **kw)
+    err = float(jnp.abs(ref - got).max())
+    assert err < 2e-5, (fold, mpe, err)
+
+
 @pytest.mark.parametrize('kernel', ['pallas', 'pallas3'])
 def test_fourier_unit_kernels_match_xla(kernel, monkeypatch):
     c, h, w = 16, 16, 16
