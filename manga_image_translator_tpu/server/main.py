@@ -201,6 +201,14 @@ def build_app() -> web.Application:
         return web.FileResponse(path)
 
     app.router.add_get('/', index)
+
+    async def manual(request):
+        """Manual-translation page (reference server/manual.html parity):
+        upload -> streamed regions JSON -> hand-edit translations."""
+        path = os.path.join(os.path.dirname(__file__), 'manual.html')
+        return web.FileResponse(path)
+
+    app.router.add_get('/manual', manual)
     return app
 
 

@@ -174,3 +174,24 @@ class TestGatewayEndToEnd:
 
         asyncio.run(run())
         executor_instances.list = []
+
+
+class TestStaticPages:
+    def test_index_and_manual_pages_served(self):
+        import asyncio
+        from aiohttp.test_utils import TestClient, TestServer
+        from manga_image_translator_tpu.server import main as server_main
+
+        async def run():
+            app = server_main.build_app()
+            async with TestClient(TestServer(app)) as client:
+                resp = await client.get('/')
+                assert resp.status == 200
+                resp = await client.get('/manual')
+                assert resp.status == 200
+                text = await resp.text()
+                # must target the gateway's framed streaming endpoint
+                assert '/translate/with-form/' in text
+                assert 'getUint32' in text
+
+        asyncio.run(run())
