@@ -66,8 +66,13 @@ def convert_state_dict(sd: Dict[str, 'object'],
                 arr = arr.transpose(2, 3, 0, 1)        # (kh, kw, in, out)
             else:
                 arr = arr.transpose(2, 3, 1, 0)        # OIHW → HWIO
-        elif (arr.ndim == 2 and leaf == 'weight' and not _is_norm(key)
+        elif (arr.ndim == 2 and leaf in ('weight', 'in_proj_weight')
+                and not _is_norm(key)
                 and not any(r.search(key) for r in e_res)):
+            # in_proj_weight: torch packed-MHA (3E, E) transposes like any
+            # linear weight — caught by the ocr48_ctc/ocr32 full-model
+            # oracles (a real checkpoint load would have delivered it
+            # untransposed while init_params makes (E, 3E))
             arr = arr.T                                # (O,I) → (I,O)
         target = dtype
         if (_is_norm_stat(key) or any(r.search(key) for r in f_res)

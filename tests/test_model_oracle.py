@@ -276,3 +276,250 @@ def test_craft_refiner_full_model():
         if refined.ndim == 4 and refined.shape[-1] == ref_refined.shape[1]
         else np.asarray(refined),
         ref_refined.numpy(), rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 48px autoregressive OCR (default) — reference ocr/model_48px.py:505
+# ---------------------------------------------------------------------------
+
+def test_ocr48_full_model():
+    """ConvNeXt backbone + 4 XPOS encoders + 4 KV-cached decode steps +
+    char/color heads vs the reference torch OCR along its own INFERENCE
+    path (next_token_batch) — the convention our decode_step mirrors."""
+    import jax.numpy as jnp
+    from manga_image_translator_tpu.models import ocr48
+    from manga_image_translator_tpu.models.functional import P
+
+    mod = ref_oracle.load('ocr.model_48px')
+    seed_everything(11)
+    net = mod.OCR([str(i) for i in range(48)], 25).eval()
+
+    x = torch.randn(2, 3, 48, 64)
+    widths = [64, 40]
+    with torch.no_grad():
+        memory = net.backbone(x).squeeze(2).permute(0, 2, 1)  # N W C
+        input_mask = torch.zeros(2, memory.size(1), dtype=torch.bool)
+        for i, l in enumerate([(w + 3) // 4 + 2 for w in widths]):
+            input_mask[i, l:] = True
+        for layer in net.encoders:
+            memory = layer(layer, src=memory,
+                           src_key_padding_mask=input_mask)
+        hypos = [mod.Hypothesis(torch.device('cpu'), 1, 2, 0, i, 5, 320)
+                 for i in range(2)]
+        ref_decs = [mod.next_token_batch(hypos, memory, input_mask,
+                                         net.decoders, net.embd)]
+        forced = [[5, 9, 3], [7, 11, 4]]
+        for t in range(3):
+            hypos = [h.extend(torch.tensor(forced[i][t]),
+                              torch.tensor(0.0))
+                     for i, h in enumerate(hypos)]
+            mm = torch.stack([input_mask[h.memory_idx] for h in hypos])
+            ref_decs.append(mod.next_token_batch(hypos, memory, mm,
+                                                 net.decoders, net.embd))
+        ref_logits = net.pred(net.pred1(ref_decs[0]))
+        cf = net.color_pred1(ref_decs[0])
+        ref_fg, ref_bg = net.color_pred_fg(cf), net.color_pred_bg(cf)
+
+    params = convert_state_dict(
+        net.state_dict(), embedding_patterns=ocr48.EMBEDDING_PATTERNS)
+    mem_j = ocr48.convnext_features(P(params).scope('backbone'),
+                                    nhwc_in(x))
+    assert mem_j.shape == tuple(memory.shape), (mem_j.shape, memory.shape)
+    mask_j = jnp.asarray(input_mask.numpy())
+    mem_j = ocr48.encoder_forward(params, mem_j, mask_j)
+    np.testing.assert_allclose(np.asarray(mem_j), memory.numpy(),
+                               rtol=1e-3, atol=2e-3)
+
+    caches = ocr48.init_caches(params, mem_j, 2, 8)
+    toks = [jnp.asarray([1, 1])] + [
+        jnp.asarray([forced[0][t], forced[1][t]]) for t in range(3)]
+    for step, tok in enumerate(toks):
+        dec, caches = ocr48.decode_step(params, caches, tok,
+                                        jnp.int32(step), mask_j)
+        np.testing.assert_allclose(np.asarray(dec),
+                                   ref_decs[step].numpy(),
+                                   rtol=1e-3, atol=2e-3)
+        if step == 0:
+            wout = params['embd.weight'].T
+            lp_ref = torch.log_softmax(ref_logits, dim=-1).numpy()
+            lp = np.asarray(ocr48.char_logprobs(params, dec, wout))
+            np.testing.assert_allclose(lp, lp_ref, rtol=1e-3, atol=2e-3)
+            fg, bg, _, _ = ocr48.color_predictions(params, dec)
+            np.testing.assert_allclose(np.asarray(fg), ref_fg.numpy(),
+                                       rtol=1e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(bg), ref_bg.numpy(),
+                                       rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 48px CTC OCR — reference ocr/model_48px_ctc.py:425
+# ---------------------------------------------------------------------------
+
+def test_ocr48_ctc_full_model():
+    import jax
+    from manga_image_translator_tpu.models import ocr48_ctc
+
+    mod = ref_oracle.load('ocr.model_48px_ctc')
+    seed_everything(13)
+    net = mod.OCR([str(i) for i in range(48)], 25).eval()
+    randomize_bn(net)
+
+    x = torch.randn(2, 3, 48, 64)
+    with torch.no_grad():
+        ref_logits, ref_colors = net(x)
+        ref_lp = torch.log_softmax(ref_logits, dim=2)
+        ref_colors = ref_colors.clamp(0, 1)
+
+    params = convert_state_dict(net.state_dict())
+    lp, colors = jax.jit(ocr48_ctc.ctc_forward)(params, nhwc_in(x))
+    np.testing.assert_allclose(np.asarray(lp), ref_lp.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(colors), ref_colors.numpy(),
+                               rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 32px OCR — reference ocr/model_32px.py:19
+# ---------------------------------------------------------------------------
+
+def test_ocr32_full_model():
+    """ResNet backbone + PE encoders + 3 cached decode steps + char/color
+    heads vs the reference torch OCR along its inference path
+    (next_token_batch, post-LN layers)."""
+    import jax.numpy as jnp
+    from manga_image_translator_tpu.models import ocr32
+    from manga_image_translator_tpu.models.functional import P
+
+    mod = ref_oracle.load('ocr.model_32px')
+    seed_everything(17)
+    net = mod.OCR([str(i) for i in range(48)], 100).eval()
+    randomize_bn(net)
+
+    x = torch.randn(2, 3, 32, 64)
+    widths = [64, 40]
+    with torch.no_grad():
+        feats = net.backbone(x)
+        feats = torch.einsum('n e h s -> s n e', feats)
+        input_mask = torch.zeros(2, feats.size(0), dtype=torch.bool)
+        for i, l in enumerate([(w + 3) // 4 + 2 for w in widths]):
+            input_mask[i, l:] = True
+        feats = net.pe(feats)
+        memory = net.encoders(feats, src_key_padding_mask=input_mask)
+        hypos = [mod.Hypothesis(torch.device('cpu'), 1, 2, 0, i,
+                                net.decoders.num_layers, 320)
+                 for i in range(2)]
+        ref_decs = [mod.next_token_batch(hypos, memory, input_mask,
+                                         net.decoders, net.pe, net.embd)]
+        forced = [[5, 9], [7, 11]]
+        for t in range(2):
+            hypos = [h.extend(torch.tensor(forced[i][t]),
+                              torch.tensor(0.0))
+                     for i, h in enumerate(hypos)]
+            mm = torch.stack([input_mask[h.memory_idx] for h in hypos])
+            ref_decs.append(mod.next_token_batch(hypos, memory, mm,
+                                                 net.decoders, net.pe,
+                                                 net.embd))
+        ref_lp = torch.log_softmax(
+            net.pred(net.pred1(ref_decs[0])), dim=-1)
+        cf = net.color_pred1(ref_decs[0])
+        ref_cols = torch.cat([net.fg_r_pred(cf), net.fg_g_pred(cf),
+                              net.fg_b_pred(cf), net.bg_r_pred(cf),
+                              net.bg_g_pred(cf), net.bg_b_pred(cf)],
+                             dim=-1)
+
+    params = convert_state_dict(
+        net.state_dict(), embedding_patterns=ocr32.EMBEDDING_PATTERNS)
+    mem_j = ocr32.resnet_features(P(params).scope('backbone.ConvNet'),
+                                  nhwc_in(x))
+    assert mem_j.shape == (2, memory.shape[0], 320), mem_j.shape
+    mask_j = jnp.asarray(input_mask.numpy())
+    mem_j = ocr32.encoder_forward(params, mem_j, mask_j)
+    np.testing.assert_allclose(
+        np.asarray(mem_j), memory.permute(1, 0, 2).numpy(),
+        rtol=1e-3, atol=2e-3)
+
+    caches = ocr32.init_caches(params, mem_j, 2, 8)
+    toks = [jnp.asarray([1, 1])] + [
+        jnp.asarray([forced[0][t], forced[1][t]]) for t in range(2)]
+    for step, tok in enumerate(toks):
+        dec, caches = ocr32.decode_step(params, caches, tok,
+                                        jnp.int32(step), mask_j)
+        np.testing.assert_allclose(np.asarray(dec),
+                                   ref_decs[step].numpy(),
+                                   rtol=1e-3, atol=2e-3)
+    lp = np.asarray(ocr32.char_logprobs(
+        params, jnp.asarray(ref_decs[0].numpy())))
+    np.testing.assert_allclose(lp, ref_lp.numpy(), rtol=1e-3, atol=2e-3)
+    cols = np.asarray(ocr32.color_predictions(
+        params, jnp.asarray(ref_decs[0].numpy())))
+    np.testing.assert_allclose(cols, ref_cols.numpy(),
+                               rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# ComicTextDetector — reference detection/ctd_utils/basemodel.py:216
+# ---------------------------------------------------------------------------
+
+def test_ctd_full_model():
+    """yolov5s backbone (Focus/C3/SPP) + UnetHead + DBHead vs the
+    reference TextDetBase composition (blk_det -> text_seg inference mode
+    -> text_det), leaky heads as the production checkpoint uses."""
+    import jax
+    from manga_image_translator_tpu.models import ctd as ctd_model
+
+    yolo_mod = ref_oracle.load('detection.ctd_utils.yolov5.yolo')
+    base_mod = ref_oracle.load('detection.ctd_utils.basemodel')
+    seed_everything(19)
+
+    cfg = {
+        'nc': 80, 'depth_multiple': 0.33, 'width_multiple': 0.50,
+        'anchors': [[10, 13, 16, 30, 33, 23],
+                    [30, 61, 62, 45, 59, 119],
+                    [116, 90, 156, 198, 373, 326]],
+        'backbone': [
+            [-1, 1, 'Focus', [64, 3]], [-1, 1, 'Conv', [128, 3, 2]],
+            [-1, 3, 'C3', [128]], [-1, 1, 'Conv', [256, 3, 2]],
+            [-1, 9, 'C3', [256]], [-1, 1, 'Conv', [512, 3, 2]],
+            [-1, 9, 'C3', [512]], [-1, 1, 'Conv', [1024, 3, 2]],
+            [-1, 1, 'SPP', [1024, [5, 9, 13]]],
+            [-1, 3, 'C3', [1024, False]]],
+        'head': [
+            [-1, 1, 'Conv', [512, 1, 1]],
+            [-1, 1, 'nn.Upsample', [None, 2, 'nearest']],
+            [[-1, 6], 1, 'Concat', [1]], [-1, 3, 'C3', [512, False]],
+            [-1, 1, 'Conv', [256, 1, 1]],
+            [-1, 1, 'nn.Upsample', [None, 2, 'nearest']],
+            [[-1, 4], 1, 'Concat', [1]], [-1, 3, 'C3', [256, False]],
+            [-1, 1, 'Conv', [256, 3, 2]], [[-1, 14], 1, 'Concat', [1]],
+            [-1, 3, 'C3', [512, False]], [-1, 1, 'Conv', [512, 3, 2]],
+            [[-1, 10], 1, 'Concat', [1]], [-1, 3, 'C3', [1024, False]],
+            [[17, 20, 23], 1, 'Detect', ['nc', 'anchors']]],
+    }
+    backbone = yolo_mod.Model(cfg).float().eval()
+    backbone.out_indices = [1, 3, 5, 7, 9]
+    backbone.model = backbone.model[:10]
+    seg = base_mod.UnetHead(act='leaky').eval()
+    db = base_mod.DBHead(64, act='leaky').eval()
+    for m in (backbone, seg, db):
+        randomize_bn(m)
+
+    rng = np.random.default_rng(19)
+    x = torch.from_numpy(rng.random((1, 3, 256, 256)).astype(np.float32))
+    with torch.no_grad():
+        outs = backbone(x)
+        ref_mask, feats = seg(*outs,
+                              forward_mode=base_mod.TEXTDET_INFERENCE)
+        ref_lines = db(*feats, step_eval=False)
+
+    flat = {}
+    for prefix, mod in (('blk_det', backbone), ('text_seg', seg),
+                        ('text_det', db)):
+        for k, v in mod.state_dict().items():
+            flat[f'{prefix}.{k}'] = v
+    params = convert_state_dict(
+        flat, transposed_conv_patterns=ctd_model.TRANSPOSED_CONV_PATTERNS)
+    mask, lines = jax.jit(ctd_model.ctd_forward)(params, nhwc_in(x))
+    np.testing.assert_allclose(nchw(mask), ref_mask.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(nchw(lines), ref_lines.numpy(),
+                               rtol=1e-3, atol=2e-3)
