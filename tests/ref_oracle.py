@@ -108,6 +108,12 @@ def _build_torchvision():
     models.resnet34 = resnet34
     models.vgg16_bn = vgg16_bn
     tv.models = models
+    # transformers probes torchvision.__spec__ to decide availability —
+    # a spec-less fake module makes it raise instead of skipping
+    import importlib.machinery
+    tv.__spec__ = importlib.machinery.ModuleSpec('torchvision', None)
+    models.__spec__ = importlib.machinery.ModuleSpec(
+        'torchvision.models', None)
     return tv, models
 
 
@@ -133,7 +139,7 @@ def _stub_module(name):
 # Module prefixes served as stubs: framework infra the model classes only
 # need at call time, plus pip deps absent from this image.
 _STUB_PREFIXES = (
-    'manga_translator', 'pyclipper', 'skimage', 'shapely',
+    'manga_translator', 'pyclipper', 'skimage', 'shapely', 'omegaconf',
     'reforacle.utils', 'reforacle.config', 'reforacle.args',
     'reforacle.detection.common', 'reforacle.ocr.common',
     'reforacle.inpainting.common', 'reforacle.upscaling.common',
@@ -191,6 +197,9 @@ def install():
     for sub in ('detection', 'ocr', 'inpainting', 'upscaling',
                 'colorization'):
         _pkg(f'reforacle.{sub}', f'{REF_ROOT}/{sub}')
+    # ldm/modules/diffusionmodules/model.py uses ABSOLUTE 'ldm.util'
+    # imports — mount the vendored ldm tree under that top-level name too
+    _pkg('ldm', f'{REF_ROOT}/inpainting/ldm')
     _installed = True
 
 

@@ -523,3 +523,135 @@ def test_ctd_full_model():
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(nchw(lines), ref_lines.numpy(),
                                rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Stable Diffusion inpaint stack — official ldm key space
+# (reference inpainting/ldm/modules/..., loaded via inpainting_sd.py:47)
+# ---------------------------------------------------------------------------
+
+def test_sd_unet_full_model():
+    """9-channel inpaint UNet vs the reference ldm UNetModel at tiny dims:
+    the state dict carries the OFFICIAL 'model.diffusion_model.*' key
+    space, so a real safetensors load exercises exactly this mapping
+    (VERDICT r2 next-round #5a)."""
+    import jax
+    from manga_image_translator_tpu.models import sd
+
+    mod = ref_oracle.load(
+        'inpainting.ldm.modules.diffusionmodules.openaimodel')
+    seed_everything(23)
+    cfg = sd.SDConfig.tiny()
+    net = mod.UNetModel(
+        image_size=32, in_channels=cfg.in_channels,
+        model_channels=cfg.model_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions,
+        channel_mult=cfg.channel_mult, num_heads=cfg.num_heads,
+        use_spatial_transformer=True, transformer_depth=1,
+        context_dim=cfg.context_dim, legacy=False).eval()
+
+    rng = np.random.default_rng(23)
+    x = torch.from_numpy(rng.standard_normal((1, 9, 16, 16)).astype(
+        np.float32))
+    t = torch.tensor([7.0])
+    ctx = torch.from_numpy(rng.standard_normal((1, 5, cfg.context_dim))
+                           .astype(np.float32))
+    with torch.no_grad():
+        ref = net(x, timesteps=t, context=ctx)
+
+    flat = {f'model.diffusion_model.{k}': v
+            for k, v in net.state_dict().items()}
+    params = convert_state_dict(flat,
+                                embedding_patterns=sd.EMBEDDING_PATTERNS)
+    out = jax.jit(lambda p, x, t, c: sd.unet_forward(p, x, t, c, cfg))(
+        params, nhwc_in(x), jnp.asarray([7.0]),
+        jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(nchw(out), ref.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sd_vae_full_model():
+    """AutoencoderKL encoder/decoder vs the reference ldm modules under
+    the official 'first_stage_model.*' key space."""
+    import jax
+    from manga_image_translator_tpu.models import sd
+
+    mod = ref_oracle.load('inpainting.ldm.modules.diffusionmodules.model')
+    seed_everything(29)
+    cfg = sd.SDConfig.tiny()
+    enc = mod.Encoder(ch=cfg.vae_channels, out_ch=3,
+                      ch_mult=cfg.vae_ch_mult,
+                      num_res_blocks=cfg.vae_num_res, attn_resolutions=[],
+                      in_channels=3, resolution=32,
+                      z_channels=cfg.z_channels, double_z=True).eval()
+    dec = mod.Decoder(ch=cfg.vae_channels, out_ch=3,
+                      ch_mult=cfg.vae_ch_mult,
+                      num_res_blocks=cfg.vae_num_res, attn_resolutions=[],
+                      in_channels=3, resolution=32,
+                      z_channels=cfg.z_channels).eval()
+    quant = torch.nn.Conv2d(2 * cfg.z_channels, 2 * cfg.z_channels, 1)
+    post_quant = torch.nn.Conv2d(cfg.z_channels, cfg.z_channels, 1)
+
+    rng = np.random.default_rng(29)
+    x = torch.from_numpy(
+        (rng.random((1, 3, 16, 16)) * 2 - 1).astype(np.float32))
+    z = torch.from_numpy(rng.standard_normal(
+        (1, cfg.z_channels, 8, 8)).astype(np.float32))
+    with torch.no_grad():
+        ref_moments = quant(enc(x))
+        ref_img = dec(post_quant(z))
+
+    flat = {}
+    for prefix, m in (('encoder', enc), ('decoder', dec),
+                      ('quant_conv', quant), ('post_quant_conv',
+                                              post_quant)):
+        for k, v in m.state_dict().items():
+            key = f'first_stage_model.{prefix}.{k}' if k else prefix
+            flat[key] = v
+    # nn.Conv2d state dicts have bare 'weight'/'bias' keys
+    flat = {k.rstrip('.'): v for k, v in flat.items()}
+    params = convert_state_dict(flat,
+                                embedding_patterns=sd.EMBEDDING_PATTERNS)
+    moments = jax.jit(lambda p, x: sd.vae_encode_moments(p, x, cfg))(
+        params, nhwc_in(x))
+    np.testing.assert_allclose(nchw(moments), ref_moments.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    img = jax.jit(lambda p, z: sd.vae_decode(p, z, cfg))(
+        params, nhwc_in(z) * cfg.scale_factor)
+    np.testing.assert_allclose(nchw(img), ref_img.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sd_clip_full_model():
+    """CLIP text encoder vs the real transformers CLIPTextModel under the
+    official 'cond_stage_model.transformer.*' key space."""
+    import jax
+    from manga_image_translator_tpu.models import sd
+    transformers = pytest.importorskip('transformers')
+
+    seed_everything(31)
+    cfg = sd.SDConfig.tiny()
+    tcfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.text_width,
+        intermediate_size=cfg.text_width * 4,
+        num_hidden_layers=cfg.text_layers,
+        num_attention_heads=cfg.text_heads,
+        max_position_embeddings=cfg.max_tokens,
+        hidden_act='quick_gelu')
+    net = transformers.CLIPTextModel(tcfg).eval()
+
+    rng = np.random.default_rng(31)
+    toks = rng.integers(0, cfg.vocab_size, (2, cfg.max_tokens))
+    with torch.no_grad():
+        ref = net(input_ids=torch.from_numpy(toks)).last_hidden_state
+
+    flat = {f'cond_stage_model.transformer.{k}': v
+            for k, v in net.state_dict().items()}
+    params = convert_state_dict(flat,
+                                embedding_patterns=sd.EMBEDDING_PATTERNS)
+    out = jax.jit(lambda p, t: sd.clip_text_forward(p, t, cfg))(
+        params, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=2e-3, atol=2e-3)
