@@ -174,6 +174,20 @@ class StableDiffusionInpainter(OfflineInpainter):
                     '85caceb8',
             'file': 'abyssorangemix2_Hard-inpainting.safetensors',
         },
+        'model_wd_swinv2': {
+            'url': 'https://huggingface.co/SmilingWolf/'
+                   'wd-v1-4-swinv2-tagger-v2/resolve/main/model.onnx',
+            'hash': '04ec04fdf7db74b4fed7f4b52f52e04dec4dbad9e4d88d2d178f'
+                    '334079a29fde',
+            'file': 'wd_swinv2.onnx',
+        },
+        'model_wd_swinv2_csv': {
+            'url': 'https://huggingface.co/SmilingWolf/'
+                   'wd-v1-4-swinv2-tagger-v2/raw/main/selected_tags.csv',
+            'hash': '8c8750600db36233a1b274ac88bd46289e588b338218c2e4c62bb'
+                    'c9f2b516368',
+            'file': 'selected_tags.csv',
+        },
     }
 
     def __init__(self):
@@ -181,6 +195,7 @@ class StableDiffusionInpainter(OfflineInpainter):
         self.params = None
         self.cfg = None
         self.tokenizer = None
+        self.tagger = None
 
     async def _load(self, device: str):
         ckpt = self._get_file_path(
@@ -205,14 +220,29 @@ class StableDiffusionInpainter(OfflineInpainter):
         self.tokenizer = SimpleCLIPTokenizer(
             self.cfg.vocab_size, self.cfg.max_tokens,
             require_real=not self.using_random_weights)
+        tagger_path = self._get_file_path('wd_swinv2.onnx')
+        tags_path = self._get_file_path('selected_tags.csv')
+        if tagger_path.is_file() and tags_path.is_file():
+            from .booru_tagger import Tagger
+            self.tagger = Tagger(tagger_path, tags_path)
+        else:
+            self.logger.warning(
+                'wd-swinv2 tagger artifacts unavailable — SD prompts use '
+                'the quality prefix only (reference behavior needs '
+                'wd_swinv2.onnx + selected_tags.csv)')
 
     async def _unload(self):
         self.params = None
 
     def _tags(self, image: np.ndarray) -> str:
-        # wd-swinv2 tagger is an optional extra; without its artifact the
-        # prompt is the reference's quality prefix alone.
-        return ''
+        """Booru tags for the prompt (reference inpainting_sd.py:108-111:
+        label_cv2_bgr on the BGR page, '_'→' ', comma-joined)."""
+        if self.tagger is None:
+            return ''
+        tags = self.tagger.label_cv2_bgr(
+            cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+        self.logger.info(f'tags={list(tags)}')
+        return ','.join(t.replace('_', ' ') for t in tags)
 
     async def _infer(self, image: np.ndarray, mask: np.ndarray,
                      config: InpainterConfig, inpainting_size: int = 1024,

@@ -88,6 +88,7 @@ class OnnxNode(NamedTuple):
     name: str
     inputs: Tuple[str, ...]
     outputs: Tuple[str, ...]
+    attrs: Dict[str, object] = {}
 
 
 class OnnxGraph(NamedTuple):
@@ -135,7 +136,56 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         arr = np.array([_zigzag_to_int(v) for v in int64s], np.int64)
     else:
         arr = np.zeros(0, np_dtype)
-    return name, arr.reshape(dims) if dims else arr
+    # dims == [] is a true 0-d scalar tensor (e.g. Gather indices) — keep
+    # it 0-d; rank-1 weights always carry explicit dims
+    return name, arr.reshape(dims)
+
+
+def _parse_attribute(buf: bytes):
+    """AttributeProto → (name, python value).
+
+    Fields (onnx.proto3): name=1, f=2 (float32), i=3 (int64), s=4 (bytes),
+    t=5 (TensorProto), floats=7, ints=8, strings=9. The graph/sparse
+    variants are not needed by any model this framework reads.
+    """
+    name = ''
+    value = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[str] = []
+    for field, wire, val in _fields(buf):
+        if field == 1:
+            name = bytes(val).decode('utf-8')
+        elif field == 2:
+            value = float(np.frombuffer(bytes(val), np.float32)[0])
+        elif field == 3:
+            value = _zigzag_to_int(val)
+        elif field == 4:
+            value = bytes(val).decode('utf-8', errors='replace')
+        elif field == 5:
+            value = _parse_tensor(bytes(val))[1]
+        elif field == 7:
+            if wire == 2:
+                floats.extend(np.frombuffer(bytes(val), np.float32)
+                              .tolist())
+            else:
+                floats.append(float(np.frombuffer(bytes(val),
+                                                  np.float32)[0]))
+        elif field == 8:
+            if wire == 2:
+                ints.extend(_zigzag_to_int(v)
+                            for v in _packed_varints(val))
+            else:
+                ints.append(_zigzag_to_int(val))
+        elif field == 9:
+            strings.append(bytes(val).decode('utf-8', errors='replace'))
+    if floats:
+        value = floats
+    elif ints:
+        value = ints
+    elif strings:
+        value = strings
+    return name, value
 
 
 def _parse_node(buf: bytes) -> OnnxNode:
@@ -143,6 +193,7 @@ def _parse_node(buf: bytes) -> OnnxNode:
     outputs: List[str] = []
     name = ''
     op_type = ''
+    attrs: Dict[str, object] = {}
     for field, wire, val in _fields(buf):
         if field == 1:
             inputs.append(bytes(val).decode('utf-8'))
@@ -152,7 +203,10 @@ def _parse_node(buf: bytes) -> OnnxNode:
             name = bytes(val).decode('utf-8')
         elif field == 4:
             op_type = bytes(val).decode('utf-8')
-    return OnnxNode(op_type, name, tuple(inputs), tuple(outputs))
+        elif field == 5:
+            aname, avalue = _parse_attribute(bytes(val))
+            attrs[aname] = avalue
+    return OnnxNode(op_type, name, tuple(inputs), tuple(outputs), attrs)
 
 
 def _value_info_name(buf: bytes) -> str:
