@@ -67,7 +67,9 @@ class MangaTranslatorLocal(MangaTranslator):
                              dest: str = '',
                              params: Optional[dict] = None):
         params = params or {}
-        config = load_config_file(params.get('config_file'))
+        # in-memory Config (studio/profile jobs) wins over a config file
+        config = params.get('config') \
+            or load_config_file(params.get('config_file'))
         paths = path if isinstance(path, list) else [path]
         files = self._collect_images(paths)
         logger.info(f'Found {len(files)} images')

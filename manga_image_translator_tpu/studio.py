@@ -1,10 +1,21 @@
 """Interactive studio: job queue + profiles on the terminal.
 
 Counterpart of the reference's PySide6 desktop app (MangaStudioMain.py +
-MangaStudio_Data/, 3.7k LoC — its own job queue, profiles, themes). TPU
-deployments are headless, so this is a terminal front-end over the same
-pipeline: named config profiles, a job queue over files/folders, live
-per-stage progress, and summary reports.
+MangaStudio_Data/, 3.7k LoC — job queue, per-job pipeline profiles,
+reorder, pause, themes). TPU deployments are headless, so this is a
+terminal front-end over the same pipeline with the reference's job
+management feature set:
+
+* named config profiles (create/edit/save/delete; eager validation)
+* a job queue where EVERY job carries its own profile snapshot
+  (``profile set`` after queueing does not mutate queued jobs)
+* queue editing: ``move``/``remove``/``retry``/``clear``, persisted to
+  disk so a studio restart resumes where it left off
+* ``run`` with pause (Ctrl-C stops between jobs, queue state kept),
+  per-stage progress and per-job wall times
+* ``batch`` to run the pending queue through the batched device pipeline
+  (translate_batch: shared detection forwards, batched translation,
+  mesh-sharded inpainting)
 
 Run: ``python -m manga_image_translator_tpu.studio``
 """
@@ -12,13 +23,14 @@ from __future__ import annotations
 
 import asyncio
 import cmd
+import copy
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from .config import Config
-from .mode.local import MangaTranslatorLocal, load_config_file
+from .mode.local import MangaTranslatorLocal
 from .utils.log import init_logging
 
 PROFILE_DIR = os.path.expanduser('~/.config/manga-image-translator-tpu')
@@ -35,34 +47,58 @@ class Studio(cmd.Cmd):
         self.profiles: Dict[str, dict] = {'default': {}}
         self.active_profile = 'default'
         self.dest = 'result-translated'
-        self._load_profiles()
+        self._load_state()
 
-    # -- profiles --------------------------------------------------------------
-    def _profiles_path(self) -> str:
-        return os.path.join(PROFILE_DIR, 'profiles.json')
+    # -- persistence -------------------------------------------------------
 
-    def _load_profiles(self):
+    def _path(self, name: str) -> str:
+        return os.path.join(PROFILE_DIR, name)
+
+    def _load_state(self):
         try:
-            with open(self._profiles_path(), encoding='utf8') as f:
+            with open(self._path('profiles.json'), encoding='utf8') as f:
                 self.profiles.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        try:
+            with open(self._path('queue.json'), encoding='utf8') as f:
+                self.queue = json.load(f)
+            for job in self.queue:      # a crashed 'running' job is pending
+                if job.get('status') == 'running':
+                    job['status'] = 'pending'
         except (OSError, ValueError):
             pass
 
     def _save_profiles(self):
         os.makedirs(PROFILE_DIR, exist_ok=True)
-        with open(self._profiles_path(), 'w', encoding='utf8') as f:
+        with open(self._path('profiles.json'), 'w', encoding='utf8') as f:
             json.dump(self.profiles, f, indent=2)
 
+    def _save_queue(self):
+        os.makedirs(PROFILE_DIR, exist_ok=True)
+        with open(self._path('queue.json'), 'w', encoding='utf8') as f:
+            json.dump(self.queue, f, indent=2)
+
+    # -- profiles ----------------------------------------------------------
+
     def do_profile(self, arg):
-        """profile [name]            -- show or switch the active profile
-        profile set <key> <value>    -- e.g. profile set translator.translator none
-        profile save <name>          -- save current settings as a profile"""
+        """profile                     -- show the active profile
+        profile <name>                 -- switch to a profile
+        profile list                   -- list profiles
+        profile set <key> <value>      -- e.g. profile set translator.translator none
+        profile unset <key>            -- remove an override
+        profile save <name>            -- save current settings as a profile
+        profile delete <name>          -- delete a profile"""
         parts = arg.split()
         if not parts:
             print(f'active: {self.active_profile}')
             print(json.dumps(self.profiles[self.active_profile], indent=2))
             return
-        if parts[0] == 'set' and len(parts) >= 3:
+        if parts[0] == 'list':
+            for name in sorted(self.profiles):
+                star = '*' if name == self.active_profile else ' '
+                print(f'{star} {name}')
+        elif parts[0] == 'set' and len(parts) >= 3:
             cfg = self.profiles[self.active_profile]
             keys = parts[1].split('.')
             node = cfg
@@ -73,45 +109,119 @@ class Studio(cmd.Cmd):
                 value = json.loads(value)
             except ValueError:
                 pass
+            old = node.get(keys[-1], ...)
             node[keys[-1]] = value
             try:  # validate eagerly
                 Config(**cfg)
+                self._save_profiles()
                 print('ok')
             except Exception as e:
                 print(f'invalid: {e}')
+                if old is ...:
+                    del node[keys[-1]]
+                else:
+                    node[keys[-1]] = old
+        elif parts[0] == 'unset' and len(parts) == 2:
+            cfg = self.profiles[self.active_profile]
+            node = cfg
+            keys = parts[1].split('.')
+            for k in keys[:-1]:
+                node = node.get(k, {})
+            if keys[-1] in node:
                 del node[keys[-1]]
+                self._save_profiles()
+                print('ok')
+            else:
+                print('not set')
         elif parts[0] == 'save' and len(parts) == 2:
-            self.profiles[parts[1]] = dict(self.profiles[self.active_profile])
+            self.profiles[parts[1]] = copy.deepcopy(
+                self.profiles[self.active_profile])
             self._save_profiles()
             print(f'saved profile {parts[1]}')
+        elif parts[0] == 'delete' and len(parts) == 2:
+            if parts[1] == 'default':
+                print('cannot delete the default profile')
+            elif parts[1] in self.profiles:
+                del self.profiles[parts[1]]
+                if self.active_profile == parts[1]:
+                    self.active_profile = 'default'
+                self._save_profiles()
+                print(f'deleted {parts[1]}')
+            else:
+                print(f'unknown profile: {parts[1]}')
         elif parts[0] in self.profiles:
             self.active_profile = parts[0]
             print(f'switched to {parts[0]}')
         else:
             print(f'unknown profile: {parts[0]} '
-                  f'(have: {", ".join(self.profiles)})')
+                  f'(have: {", ".join(sorted(self.profiles))})')
 
-    # -- queue -----------------------------------------------------------------
+    # -- queue -------------------------------------------------------------
+
     def do_add(self, arg):
-        """add <path> [path...] -- queue image files or folders"""
+        """add <path> [path...] -- queue image files or folders with a
+        SNAPSHOT of the active profile (later edits don't change the job)"""
         for path in arg.split():
             if not os.path.exists(path):
                 print(f'no such path: {path}')
                 continue
-            self.queue.append({'path': path,
-                               'profile': self.active_profile,
-                               'status': 'pending'})
+            self.queue.append({
+                'path': path,
+                'profile': self.active_profile,
+                'config': copy.deepcopy(
+                    self.profiles[self.active_profile]),
+                'status': 'pending',
+            })
             print(f'queued {path} ({self.active_profile})')
+        self._save_queue()
 
     def do_queue(self, arg):
-        """queue -- list queued jobs"""
+        """queue -- list queued jobs with status and timing"""
+        if not self.queue:
+            print('(empty)')
         for i, job in enumerate(self.queue):
+            took = f' {job["took"]:.1f}s' if 'took' in job else ''
+            err = f' — {job["error"]}' if job.get('error') else ''
             print(f'{i:3d} [{job["status"]:8s}] {job["path"]} '
-                  f'({job["profile"]})')
+                  f'({job["profile"]}){took}{err}')
+
+    def do_move(self, arg):
+        """move <from> <to> -- reorder a pending job"""
+        try:
+            src, dst = (int(x) for x in arg.split())
+            job = self.queue.pop(src)
+            self.queue.insert(dst, job)
+            self._save_queue()
+            self.do_queue('')
+        except (ValueError, IndexError):
+            print('usage: move <from-index> <to-index>')
+
+    def do_remove(self, arg):
+        """remove <index> [index...] -- drop jobs from the queue"""
+        try:
+            idxs = sorted({int(x) for x in arg.split()}, reverse=True)
+            for i in idxs:
+                job = self.queue.pop(i)
+                print(f'removed {job["path"]}')
+            self._save_queue()
+        except (ValueError, IndexError):
+            print('usage: remove <index> [index...]')
+
+    def do_retry(self, arg):
+        """retry -- mark failed jobs pending again"""
+        n = 0
+        for job in self.queue:
+            if job['status'] == 'failed':
+                job['status'] = 'pending'
+                job.pop('error', None)
+                n += 1
+        self._save_queue()
+        print(f'{n} job(s) reset')
 
     def do_clear(self, arg):
-        """clear -- drop pending jobs"""
-        self.queue = [j for j in self.queue if j['status'] == 'done']
+        """clear -- drop finished/failed jobs (pending jobs stay)"""
+        self.queue = [j for j in self.queue if j['status'] == 'pending']
+        self._save_queue()
 
     def do_dest(self, arg):
         """dest [folder] -- show or set the output folder"""
@@ -119,13 +229,24 @@ class Studio(cmd.Cmd):
             self.dest = arg.strip()
         print(f'output folder: {self.dest}')
 
+    # -- running -----------------------------------------------------------
+
+    def _job_config(self, job: Dict) -> Config:
+        return Config(**job.get(
+            'config', self.profiles.get(job['profile'], {})))
+
     def do_run(self, arg):
-        """run -- process the queue"""
+        """run -- process pending jobs one by one (Ctrl-C pauses between
+        jobs; 'run' again resumes)"""
         pending = [j for j in self.queue if j['status'] == 'pending']
         if not pending:
             print('queue empty')
             return
-        asyncio.run(self._run_jobs(pending))
+        try:
+            asyncio.run(self._run_jobs(pending))
+        except KeyboardInterrupt:
+            print('\npaused — pending jobs kept; type run to resume')
+        self._save_queue()
 
     async def _run_jobs(self, jobs: List[Dict]):
         translator = MangaTranslatorLocal({'ignore_errors': True})
@@ -136,17 +257,59 @@ class Studio(cmd.Cmd):
         translator.add_progress_hook(hook)
         for job in jobs:
             job['status'] = 'running'
+            self._save_queue()
             t0 = time.time()
             print(f'== {job["path"]}')
             try:
-                cfg = Config(**self.profiles[job['profile']])
+                cfg = self._job_config(job)
                 await translator.translate_path(
-                    job['path'], self.dest, {'config_file': None})
+                    job['path'], self.dest, {'config': cfg})
                 job['status'] = 'done'
-                print(f'== done in {time.time() - t0:.1f}s')
+                job['took'] = time.time() - t0
+                print(f'== done in {job["took"]:.1f}s')
             except Exception as e:
                 job['status'] = 'failed'
+                job['error'] = str(e)
                 print(f'== failed: {e}')
+            self._save_queue()
+
+    def do_batch(self, arg):
+        """batch -- run ALL pending jobs through the batched device
+        pipeline (shared detection forwards + batched translation +
+        mesh-sharded inpainting); best for many pages with one profile"""
+        pending = [j for j in self.queue if j['status'] == 'pending']
+        if not pending:
+            print('queue empty')
+            return
+        try:
+            asyncio.run(self._run_batch(pending))
+        except KeyboardInterrupt:
+            print('\ninterrupted')
+        self._save_queue()
+
+    async def _run_batch(self, jobs: List[Dict]):
+        from PIL import Image
+        translator = MangaTranslatorLocal({'ignore_errors': True})
+        images_with_configs = []
+        expanded: List[Dict] = []
+        for job in jobs:
+            cfg = self._job_config(job)
+            files = translator._collect_images([job['path']])
+            for f in files:
+                images_with_configs.append((Image.open(f), cfg))
+                expanded.append({'job': job, 'file': f})
+        print(f'batching {len(images_with_configs)} page(s)')
+        t0 = time.time()
+        ctxs = await translator.translate_batch(images_with_configs)
+        os.makedirs(self.dest, exist_ok=True)
+        for meta, ctx in zip(expanded, ctxs):
+            out = translator._dest_path(meta['file'], self.dest)
+            if ctx.result is not None:
+                ctx.result.save(out)
+        for job in jobs:
+            job['status'] = 'done'
+            job['took'] = time.time() - t0
+        print(f'== batch done in {time.time() - t0:.1f}s')
 
     def do_quit(self, arg):
         """quit -- exit the studio"""
