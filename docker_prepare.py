@@ -26,6 +26,13 @@ async def main():
         except Exception as e:
             print(f'skipped {type(job).__name__}: {e}')
 
+    # hyphenation pattern dictionaries (reference pulls them via pyhyphen
+    # at render time; bake them into the image instead)
+    from manga_image_translator_tpu.rendering.hyphenation import \
+        download_dictionaries
+    langs = download_dictionaries()
+    print(f'hyphenation dictionaries: {len(langs)} provisioned')
+
 
 if __name__ == '__main__':
     asyncio.run(main())

@@ -173,3 +173,77 @@ def syllables(word: str, language: str = 'en_US') -> List[str]:
     if base in _LATIN_LANGS and word.isalpha():
         return _rule_syllables(word)
     return list(word)
+
+
+# --------------------------------------------------------------------------
+# Dictionary provisioning (reference parity: pyhyphen downloads LibreOffice
+# dictionaries on demand — text_render.py:582-611 via the Hyphenator
+# constructor). Candidates cover the repo's per-language folder layouts.
+# --------------------------------------------------------------------------
+
+_LO_RAW = ('https://raw.githubusercontent.com/LibreOffice/dictionaries/'
+           'master')
+
+# language -> repo-relative candidate paths, tried in order
+_DICT_SOURCES = {
+    'en_US': ['en/hyph_en_US.dic'],
+    'en_GB': ['en/hyph_en_GB.dic'],
+    'de_DE': ['de/hyph_de_DE.dic'],
+    'fr': ['fr_FR/hyph_fr.dic'],
+    'es': ['es/hyph_es.dic', 'es/hyph_es_ANY.dic'],
+    'it_IT': ['it_IT/hyph_it_IT.dic'],
+    'pt_BR': ['pt_BR/hyph_pt_BR.dic'],
+    'pt_PT': ['pt_PT/hyph_pt_PT.dic'],
+    'nl_NL': ['nl_NL/hyph_nl_NL.dic'],
+    'pl_PL': ['pl_PL/hyph_pl_PL.dic'],
+    'cs_CZ': ['cs_CZ/hyph_cs_CZ.dic'],
+    'hu_HU': ['hu_HU/hyph_hu_HU.dic'],
+    'ro_RO': ['ro/hyph_ro_RO.dic'],
+    'ru_RU': ['ru_RU/hyph_ru_RU.dic'],
+    'uk_UA': ['uk_UA/hyph_uk_UA.dic'],
+    'hr_HR': ['hr_HR/hyph_hr_HR.dic'],
+    'sr': ['sr/hyph_sr.dic'],
+    'id_ID': ['id/hyph_id_ID.dic'],
+}
+
+
+def default_dict_dir() -> str:
+    return os.environ.get(
+        'MIT_TPU_HYPHEN_DIR',
+        os.path.join(os.path.dirname(__file__), '..', '..', 'fonts',
+                     'hyphen'))
+
+
+def download_dictionaries(langs=None, dest: str = None) -> List[str]:
+    """Fetch hyph_*.dic files into the hyphenation search path.
+
+    Returns the list of languages actually provisioned; failures are
+    skipped with a warning (the rule syllabifier remains the fallback).
+    Called from docker_prepare so images ship with real patterns.
+    """
+    import urllib.request
+    dest = dest or default_dict_dir()
+    os.makedirs(dest, exist_ok=True)
+    done = []
+    for lang in (langs or list(_DICT_SOURCES)):
+        paths = _DICT_SOURCES.get(lang)
+        if not paths:
+            continue
+        out = os.path.join(dest, f'hyph_{lang}.dic')
+        if os.path.isfile(out):
+            done.append(lang)
+            continue
+        for rel in paths:
+            try:
+                with urllib.request.urlopen(f'{_LO_RAW}/{rel}',
+                                            timeout=30) as r:
+                    data = r.read()
+                with open(out, 'wb') as f:
+                    f.write(data)
+                done.append(lang)
+                break
+            except Exception:
+                continue
+        else:
+            print(f'hyphenation: no dictionary fetched for {lang}')
+    return done

@@ -41,6 +41,29 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import pytest  # noqa: E402
 
+# Fast CI tier (mirrors the reference's ~5-min CI budget, SURVEY §4):
+# ``pytest -m quick`` runs the host-logic + light-jit files in well under
+# 5 minutes on this image; the full suite (~14 min, heavy XLA compiles)
+# stays the pre-merge gate. Membership is per FILE, curated for wall time.
+QUICK_FILES = {
+    'test_examples.py', 'test_studio.py', 'test_geometry.py',
+    'test_sort_and_config.py', 'test_textline_merge.py',
+    'test_threading.py', 'test_server.py', 'test_render.py',
+    'test_paddle_onnx.py', 'test_mask_refinement.py', 'test_ct2.py',
+    'test_translators.py', 'test_translation_manual.py',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'quick: fast CI tier (host logic, light compiles)')
+
 
 def pytest_addoption(parser):
     """Manual-run options (reference test/conftest.py:4-26): e.g.
