@@ -38,15 +38,17 @@ def main():
     print(f'params: {n_par / 1e6:.0f}M (bf16)')
     rs = np.random.RandomState(0)
 
-    # UNet: cond+uncond batch of 2, 128x128 latent (1024px page)
-    x = jnp.asarray(rs.randn(2, 128, 128, 9).astype(np.float32),
+    # UNet at batch 1: cond+uncond batched as 2 OOMs v5e HBM at 128x128
+    # latents (measured: 16.17G > 15.75G) — production runs them as two
+    # sequential batch-1 calls at 1024px pages.
+    x = jnp.asarray(rs.randn(1, 128, 128, 9).astype(np.float32),
                     jnp.bfloat16)
-    t = jnp.asarray([501.0, 501.0])
-    ctx = jnp.asarray(rs.randn(2, 77, 768).astype(np.float32),
+    t = jnp.asarray([501.0])
+    ctx = jnp.asarray(rs.randn(1, 77, 768).astype(np.float32),
                       jnp.bfloat16)
     unet = jax.jit(lambda p, x, t, c: sd.unet_forward(p, x, t, c, cfg))
-    tu = timed(unet, params, x, t, ctx)
-    print(f'unet step (2, 128, 128, 9) bf16: {tu*1e3:.1f} ms')
+    tu = timed(unet, params, x, t, ctx) * 2      # cond + uncond
+    print(f'unet step 2x(1, 128, 128, 9) bf16: {tu*1e3:.1f} ms')
 
     img = jnp.asarray(rs.rand(1, 1024, 1024, 3).astype(np.float32) * 2 - 1,
                       jnp.bfloat16)

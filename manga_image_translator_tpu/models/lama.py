@@ -466,9 +466,12 @@ def _down_s2d(p: P, x_cells: jax.Array, ci: int) -> jax.Array:
 
 
 def _s2d_shell_mode() -> bool:
-    """Space-to-depth shell: default ON (same arithmetic as the direct
-    convs; kill switch MIT_TPU_LAMA_S2D=0)."""
-    return os.environ.get('MIT_TPU_LAMA_S2D', '1') == '1'
+    """Space-to-depth shell: default OFF. MEASURED (r3, interleaved
+    one-process A/B at 1536px full-18): 131.8 vs 126.7 ms — the packed
+    stride-1 cell convs lose ~4% to XLA's own stride-2 handling; XLA
+    already pays no real penalty for the low-C stem. Kept (exact
+    reindexing, parity-tested) behind MIT_TPU_LAMA_S2D=1."""
+    return os.environ.get('MIT_TPU_LAMA_S2D', '0') == '1'
 
 
 def _shell_s2d(p: P, x_padded: jax.Array,

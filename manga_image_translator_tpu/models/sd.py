@@ -113,22 +113,47 @@ def _res_block(p: P, x, emb):
     return x + h
 
 
-def _mha(p: P, q_src, kv_src, heads: int, prefix: str):
-    q = p.dense(f'{prefix}.to_q', q_src)
-    k = p.dense(f'{prefix}.to_k', kv_src)
-    v = p.dense(f'{prefix}.to_v', kv_src)
+# Above this query length, attention runs in query chunks: a manga page at
+# 1024px has 128x128=16384 latent tokens in the top UNet level, and the
+# full (16384, 16384) score matrix x8 heads is ~4-8GB — past v5e HBM once
+# weights and skip activations are resident. Chunking caps live score
+# memory at (QCHUNK, L) per head while keeping every matmul MXU-sized.
+_ATTN_QCHUNK = 4096
+
+
+def _attention(q, k, v, heads: int):
     b, lq, c = q.shape
     lk = k.shape[1]
     hd = c // heads
     q = q.reshape(b, lq, heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, lk, heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, lk, heads, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum('bhqk,bhkd->bhqd', w, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
+
+    def attend(qc):
+        scores = jnp.einsum('bhqd,bhkd->bhqk', qc, k,
+                            preferred_element_type=jnp.float32) \
+            * (hd ** -0.5)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        return jnp.einsum('bhqk,bhkd->bhqd', w, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(v.dtype)
+
+    if lq > _ATTN_QCHUNK and lq % _ATTN_QCHUNK == 0:
+        nch = lq // _ATTN_QCHUNK
+        qs = q.reshape(b, heads, nch, _ATTN_QCHUNK, hd) \
+            .transpose(2, 0, 1, 3, 4)
+        out = jax.lax.map(attend, qs)            # serial: bounds memory
+        out = out.transpose(1, 2, 0, 3, 4).reshape(b, heads, lq, hd)
+    else:
+        out = attend(q)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, c)
+
+
+def _mha(p: P, q_src, kv_src, heads: int, prefix: str):
+    q = p.dense(f'{prefix}.to_q', q_src)
+    k = p.dense(f'{prefix}.to_k', kv_src)
+    v = p.dense(f'{prefix}.to_v', kv_src)
+    out = _attention(q, k, v, heads)
     return p.dense(f'{prefix}.to_out.0', out)
 
 
@@ -225,16 +250,15 @@ def _vae_resnet(p: P, x):
 
 
 def _vae_attn(p: P, x):
+    # single-head attention over h*w tokens; q-chunked via _attention for
+    # the same HBM reason as the UNet (a 1024px page is 16384 VAE mid
+    # tokens)
     n, h, w, c = x.shape
     xn = _gn(p, 'norm', x)
     q = p.conv('q', xn).reshape(n, h * w, c)
     k = p.conv('k', xn).reshape(n, h * w, c)
     v = p.conv('v', xn).reshape(n, h * w, c)
-    scores = jnp.einsum('nqc,nkc->nqk', q, k,
-                        preferred_element_type=jnp.float32) * (c ** -0.5)
-    wts = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum('nqk,nkc->nqc', wts, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = _attention(q, k, v, heads=1)
     return x + p.conv('proj_out', out.reshape(n, h, w, c))
 
 
