@@ -148,9 +148,11 @@ class Model48pxOCR(OfflineOCR):
                 Hs = np.stack([plans[i][1] for i in indices]
                               + [warp._DEGENERATE_H] *
                               (chunk_size - len(indices)))
-                images = warp.crop_batch(img_dev, jnp.asarray(Hs),
-                                         jnp.asarray(valid_widths),
-                                         out_h=TEXT_HEIGHT, out_w=bw)
+                # axis-aligned quads (the common case) go through the
+                # separable matmul resampler — no gathers; rotated quads
+                # fall back to the gather path (ops/warp.crop_batch_auto)
+                images = warp.crop_batch_auto(img_dev, Hs, valid_widths,
+                                              out_h=TEXT_HEIGHT, out_w=bw)
                 if verbose:
                     crops_host = np.asarray(
                         (images + 1.0) * 127.5).astype(np.uint8)

@@ -175,3 +175,110 @@ def crop_batch(img: jax.Array, Hs: jax.Array, valid_w: jax.Array,
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, out_w, 1), 2)
     crops = jnp.where(xs < valid_w[:, None, None, None], crops, 0.0)
     return crops / 127.5 - 1.0
+
+
+# --------------------------------------------------------------------------
+# Separable matmul resampler (round 3)
+#
+# The batched gather path above costs ~21 ms per 16-crop chunk at bucket
+# 1024 on v5e — TPU gathers scalarize. Manga textline quads are almost
+# always axis-aligned (minAreaRect of horizontal text; vertical text is
+# rotation-folded by the crop plan), and for an axis-aligned homography
+# bilinear warping is SEPARABLE: one vertical and one horizontal linear
+# resample, each expressible as a small matmul whose triangle weights are
+# built from iota arithmetic — zero gathers, MXU-shaped, O(out·src) FLOPs.
+# Rotated/perspective quads (rare) keep the gather path.
+# --------------------------------------------------------------------------
+
+SEP_SRC_H = 128          # static source-box rows (source text ≤ 128px tall)
+
+
+def separable_plan(H: np.ndarray, out_h: int, out_w: int, src_h: int,
+                   src_w: int):
+    """Per-crop plan for the separable resampler, or None if the quad is
+    not axis-aligned / does not fit the static source box.
+
+    Returns ((y0, x0), (yb, yk), (xb, xk)): source-box origin in page
+    coords and box-relative sample coords sy(r) = yb + yk*r,
+    sx(o) = xb + xk*o.
+    """
+    H = np.asarray(H, np.float64)
+    if abs(H[2, 2]) < 1e-12:
+        return None
+    H = H / H[2, 2]
+    scale = max(abs(H[0, 0]), abs(H[1, 1]), 1.0)
+    if max(abs(H[0, 1]), abs(H[1, 0])) > 1e-6 * scale \
+            or max(abs(H[2, 0]), abs(H[2, 1])) > 1e-9:
+        return None
+    a, c = H[0, 0], H[0, 2]
+    e, f = H[1, 1], H[1, 2]
+    ys = (f, f + e * (out_h - 1))
+    xs = (c, c + a * (out_w - 1))
+    y0 = int(np.floor(min(ys))) - 1
+    x0 = int(np.floor(min(xs))) - 1
+    if int(np.ceil(max(ys))) + 2 - y0 > src_h:
+        return None
+    if int(np.ceil(max(xs))) + 2 - x0 > src_w:
+        return None
+    return (y0, x0), (f - y0, e), (c - x0, a)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_h', 'out_w', 'src_h', 'src_w'))
+def crop_batch_separable(img: jax.Array, origins: jax.Array,
+                         ycoef: jax.Array, xcoef: jax.Array,
+                         valid_w: jax.Array, out_h: int, out_w: int,
+                         src_h: int, src_w: int) -> jax.Array:
+    """N axis-aligned rectified crops as two matmuls per crop.
+
+    Args:
+      img: (H, W, 3) uint8 page.
+      origins: (N, 2) int32 source-box (y0, x0) in page coords (may hang
+        off the page; the page is zero-padded so out-of-image samples are
+        0, matching bilinear_sample).
+      ycoef/xcoef: (N, 2) f32 [b, k] — box-relative sy(r)=b+k*r,
+        sx(o)=b+k*o.
+      valid_w: (N,) int32 output-column validity.
+    Returns (N, out_h, out_w, 3) float32 normalized like crop_batch.
+    """
+    padded = jnp.pad(img, ((src_h, src_h), (src_w, src_w), (0, 0)))
+
+    def one(origin, yc, xc):
+        box = jax.lax.dynamic_slice(
+            padded, (origin[0] + src_h, origin[1] + src_w, 0),
+            (src_h, src_w, 3)).astype(jnp.float32)
+        r = jnp.arange(out_h, dtype=jnp.float32)
+        sy = yc[0] + yc[1] * r
+        hh = jnp.arange(src_h, dtype=jnp.float32)
+        wv = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - hh[None, :]))
+        o = jnp.arange(out_w, dtype=jnp.float32)
+        sx = xc[0] + xc[1] * o
+        xx = jnp.arange(src_w, dtype=jnp.float32)
+        wh = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - xx[None, :]))
+        tmp = jnp.einsum('rh,hxc->rxc', wv, box,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum('ox,rxc->roc', wh, tmp,
+                          preferred_element_type=jnp.float32)
+
+    crops = jax.vmap(one)(origins, ycoef, xcoef)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, out_w, 1), 2)
+    crops = jnp.where(xs < valid_w[:, None, None, None], crops, 0.0)
+    return crops / 127.5 - 1.0
+
+
+def crop_batch_auto(img: jax.Array, Hs: np.ndarray, valid_w: np.ndarray,
+                    out_h: int, out_w: int) -> jax.Array:
+    """Route a crop chunk to the separable matmul path when EVERY quad is
+    axis-aligned and fits the static source box, else the gather path."""
+    src_w = 2 * out_w
+    plans = [separable_plan(H, out_h, out_w, SEP_SRC_H, src_w)
+             for H in np.asarray(Hs)]
+    if all(p is not None for p in plans):
+        origins = jnp.asarray([p[0] for p in plans], jnp.int32)
+        ycoef = jnp.asarray([p[1] for p in plans], jnp.float32)
+        xcoef = jnp.asarray([p[2] for p in plans], jnp.float32)
+        return crop_batch_separable(img, origins, ycoef, xcoef,
+                                    jnp.asarray(valid_w), out_h, out_w,
+                                    SEP_SRC_H, src_w)
+    return crop_batch(img, jnp.asarray(Hs), jnp.asarray(valid_w),
+                      out_h=out_h, out_w=out_w)

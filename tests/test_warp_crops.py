@@ -136,3 +136,65 @@ def test_model48_wrapper_device_crop_path(monkeypatch):
     assert len(dev_out) == len(host_out)
     for r in dev_out:
         assert isinstance(r.text, str)
+
+
+class TestSeparableResampler:
+    """crop_batch_separable (matmul resampling, zero gathers) must match
+    the gather path exactly for axis-aligned quads."""
+
+    def _plan(self, quad, direction='h'):
+        w, H = warp.crop_plan_quad(quad, direction, TH)
+        return w, H
+
+    def test_matches_gather_path_axis_aligned(self):
+        img = _page()
+        quads = [
+            Quadrilateral(np.array([[50, 100], [350, 100],
+                                    [350, 160], [50, 160]]), '', 0.9),
+            Quadrilateral(np.array([[10, 20], [210, 20],
+                                    [210, 60], [10, 60]]), '', 0.9),
+        ]
+        ws, Hs = zip(*(self._plan(q) for q in quads))
+        bw = max(ws)
+        valid = np.asarray([min(w, bw) for w in ws], np.int32)
+        Hs = np.stack(Hs)
+        ref = np.asarray(warp.crop_batch(
+            jnp.asarray(img), jnp.asarray(Hs), jnp.asarray(valid),
+            out_h=TH, out_w=bw))
+        got = np.asarray(warp.crop_batch_auto(
+            jnp.asarray(img), Hs, valid, out_h=TH, out_w=bw))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_auto_routes_rotated_to_gather(self):
+        img = _page()
+        rot = Quadrilateral(np.array([[100, 100], [300, 140],
+                                      [290, 190], [90, 150]]), '', 0.9)
+        w, H = self._plan(rot)
+        assert warp.separable_plan(H, TH, w, warp.SEP_SRC_H, 2 * w) is None
+        # crop_batch_auto still returns a crop (gather fallback)
+        out = np.asarray(warp.crop_batch_auto(
+            jnp.asarray(img), H[None], np.asarray([w], np.int32),
+            out_h=TH, out_w=w))
+        assert out.shape == (1, TH, w, 3)
+
+    def test_partially_outside_page_zero_pads(self):
+        img = _page()
+        quad = Quadrilateral(np.array([[-40, -20], [260, -20],
+                                       [260, 40], [-40, 40]]), '', 0.9)
+        w, H = self._plan(quad)
+        plan = warp.separable_plan(H, TH, w, warp.SEP_SRC_H, 2 * w)
+        assert plan is not None
+        ref = np.asarray(warp.crop_batch(
+            jnp.asarray(img), jnp.asarray(H[None]),
+            jnp.asarray([w], np.int32), out_h=TH, out_w=w))
+        got = np.asarray(warp.crop_batch_auto(
+            jnp.asarray(img), H[None], np.asarray([w], np.int32),
+            out_h=TH, out_w=w))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_too_tall_source_falls_back(self):
+        # a source quad taller than SEP_SRC_H must be rejected by the plan
+        quad = Quadrilateral(np.array([[0, 0], [400, 0],
+                                       [400, 200], [0, 200]]), '', 0.9)
+        w, H = self._plan(quad)
+        assert warp.separable_plan(H, TH, w, warp.SEP_SRC_H, 2 * w) is None
