@@ -662,6 +662,11 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
     # in-kernel charhead above it runs as a SEPARATE pipelined launch.
     kernel_topk = (not kernel_charhead and os.environ.get(
         'MIT_TPU_OCR_KERNEL_TOPK', '1') == '1')
+    # Fused beam gather: each streamed cache chunk is beam-permuted
+    # in-kernel (one-hot matmul, exact) and written back — removing the
+    # XLA per-step full-S cache gather (read+write of the whole KV cache)
+    # and the k/v dynamic_update_slice.
+    fused_gather = os.environ.get('MIT_TPU_OCR_FUSED_GATHER', '1') == '1'
     vocab = params['embd.weight'].shape[0]
     vp = -(-vocab // 128) * 128 if kernel_charhead else 0
     wout = params['embd.weight'].T
@@ -681,21 +686,30 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
             mem_k=mem_k, mem_v=mem_v,
             out=jnp.zeros((nk, max_len, EMBD_DIM), dtype))
 
-    def dstep(caches, tok, step, mask_b):
+    def dstep(caches, tok, step, mask_b, parent=None):
         """Returns the per-step char LOGITS (computed in-kernel — the
         char head is part of the fused launch); the last-layer outputs
         feed the color-head cache inside."""
         nk = caches.out.shape[0]
         m_pad = caches.mem_k.shape[1]
         tgt = embd_p[tok]
-        out, k_new, v_new, logits = pd.decode_step_pallas(
+        perm = None
+        if fused_gather:
+            if parent is None:
+                parent = jnp.arange(nk)
+            perm = jax.nn.one_hot(parent, nk, dtype=jnp.bfloat16)
+        out, k_new, v_new, logits, self_k, self_v = pd.decode_step_pallas(
             step, tgt, rots_tab[step], weights,
             caches.self_k, caches.self_v, caches.mem_k, caches.mem_v,
-            n=nk, s_len=s_pad, m_len=m_pad, vp=vp, interpret=interpret)
-        self_k = jax.lax.dynamic_update_slice(
-            caches.self_k, k_new[:, None], (0, step, 0, 0))
-        self_v = jax.lax.dynamic_update_slice(
-            caches.self_v, v_new[:, None], (0, step, 0, 0))
+            n=nk, s_len=s_pad, m_len=m_pad, vp=vp, perm=perm,
+            fused_gather=fused_gather, interpret=interpret)
+        if not fused_gather:
+            # fused mode: the kernel already permuted + persisted the
+            # cache rows (including position ``step``) in place
+            self_k = jax.lax.dynamic_update_slice(
+                caches.self_k, k_new[:, None], (0, step, 0, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                caches.self_v, v_new[:, None], (0, step, 0, 0))
         out_e = out[:, :EMBD_DIM].astype(dtype)
         outc = jax.lax.dynamic_update_slice(
             caches.out, out_e[:, None], (0, step, 0))
@@ -738,17 +752,25 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
         char_lp = lambda dec: char_logprobs(params, dec, wout)
         char_tk = lambda dec, k: char_topk(params, dec, k, wout)
 
+    if fused_gather:
+        # the kernel permutes self-K/V in place at the NEXT step; only the
+        # color-head output cache still needs the XLA gather
+        cache_gather = lambda caches, idx: caches._replace(
+            out=caches.out[idx])
+    else:
+        cache_gather = lambda caches, idx: caches._replace(
+            self_k=caches.self_k[:, :, idx],
+            self_v=caches.self_v[:, :, idx],
+            out=caches.out[idx])
     return BeamHarness(
         init_caches=init,
         decode_step=dstep,
         char_logprobs=char_lp,
         char_topk=char_tk,
-        cache_gather=lambda caches, idx: caches._replace(
-            self_k=caches.self_k[:, :, idx],
-            self_v=caches.self_v[:, :, idx],
-            out=caches.out[idx]),
+        cache_gather=cache_gather,
         cache_out=lambda caches: caches.out,
-        embd_dim=EMBD_DIM)
+        embd_dim=EMBD_DIM,
+        fused_gather=fused_gather)
 
 
 # --------------------------------------------------------------------------
@@ -764,6 +786,9 @@ class BeamState(NamedTuple):
     best_seq: jax.Array      # (N, S+1) int32 latched
     best_logprob: jax.Array  # (N,) f32 latched
     best_colors: jax.Array   # (N, S, E) latched last-layer outputs
+    parent: jax.Array        # (N*k,) int32 — last step's beam parents
+                             # (identity until a selection happens; only
+                             # consumed by fused_gather harnesses)
 
 
 class BeamHarness(NamedTuple):
@@ -778,6 +803,10 @@ class BeamHarness(NamedTuple):
     # optional fused top-k over the char head (avoids materializing the
     # full log_softmax); falls back to char_logprobs + top_k when None
     char_topk: 'callable' = None
+    # decode_step applies the beam-parent permutation in-kernel; run_beam
+    # then passes the previous step's parents into decode_step and
+    # cache_gather skips the self-KV gather
+    fused_gather: bool = False
 
 
 def run_beam(harness: BeamHarness, memory: jax.Array,
@@ -811,7 +840,8 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
         caches=caches, done=jnp.zeros((n,), bool),
         best_seq=jnp.full((n, max_len + 1), END_TOK, jnp.int32),
         best_logprob=jnp.full((n,), -jnp.inf, jnp.float32),
-        best_colors=jnp.zeros((n, max_len, harness.embd_dim), memory.dtype))
+        best_colors=jnp.zeros((n, max_len, harness.embd_dim), memory.dtype),
+        parent=jnp.arange(nk, dtype=jnp.int32))
 
     def latch(state: BeamState, newly_done: jax.Array) -> BeamState:
         lp = state.log_probs.reshape(n, beams_k)
@@ -834,8 +864,12 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
     def body(state: BeamState) -> BeamState:
         step = state.step
         last_tok = state.out_idx[jnp.arange(nk), step]
-        decoded, caches = harness.decode_step(state.caches, last_tok, step,
-                                              memory_mask_b)
+        if harness.fused_gather:
+            decoded, caches = harness.decode_step(
+                state.caches, last_tok, step, memory_mask_b, state.parent)
+        else:
+            decoded, caches = harness.decode_step(state.caches, last_tok,
+                                                  step, memory_mask_b)
         top_v, top_i = topk(decoded)
         finished = last_tok == END_TOK
         top_v = jnp.where(finished[:, None], 0.0, top_v)
@@ -856,7 +890,8 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
         new_caches = harness.cache_gather(caches, parent_flat)
         new_state = state._replace(step=step + 1, out_idx=new_out,
                                    log_probs=sel_v.reshape(-1),
-                                   caches=new_caches)
+                                   caches=new_caches,
+                                   parent=parent_flat.astype(jnp.int32))
         fin = (tok == END_TOK).reshape(n, beams_k)
         newly_done = (fin.sum(axis=1) >= max_finished_hypos) & ~state.done
         return latch(new_state, newly_done)

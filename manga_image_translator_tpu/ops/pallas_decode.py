@@ -129,20 +129,32 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
-                   lnb_ref, ffb1_ref, ffb2_ref, jmat_ref, seg_ref,
+def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
+                   lnw_ref, lnb_ref, ffb1_ref, ffb2_ref, jmat_ref, seg_ref,
                    segv_ref, wpred1_ref, bpred1_ref, bout_ref,
                    selfk_hbm, selfv_hbm, memk_hbm, memv_hbm,
                    wbig_hbm, ff1_hbm, ff2_hbm, *rest,
-                   n: int, s_len: int, m_len: int, vp: int, vch: int):
-    if vp:
-        (wout_hbm, out_ref, knew_ref, vnew_ref, logits_ref,
-         kbuf, vbuf, wbuf, ff1buf, ff2buf, pbuf,
-         ksem, vsem, wsem, ffsem, psem) = rest
-    else:
-        (out_ref, knew_ref, vnew_ref,
-         kbuf, vbuf, wbuf, ff1buf, ff2buf,
-         ksem, vsem, wsem, ffsem) = rest
+                   n: int, s_len: int, m_len: int, vp: int, vch: int,
+                   fused_gather: bool):
+    rest = list(rest)
+    wout_hbm = rest.pop(0) if vp else None
+    out_ref = rest.pop(0)
+    knew_ref = rest.pop(0)
+    vnew_ref = rest.pop(0)
+    logits_ref = rest.pop(0) if vp else None
+    if fused_gather:
+        # aliased in-place cache outputs (same HBM as selfk/v_hbm)
+        selfk_out = rest.pop(0)
+        selfv_out = rest.pop(0)
+    kbuf, vbuf, wbuf, ff1buf, ff2buf = rest[:5]
+    rest = rest[5:]
+    pbuf = rest.pop(0) if vp else None
+    ksem, vsem, wsem, ffsem = rest[:4]
+    rest = rest[4:]
+    psem = rest.pop(0) if vp else None
+    if fused_gather:
+        wbk_sem = rest.pop(0)
+        wbv_sem = rest.pop(0)
     step = step_ref[0, 0]
     jmat = jmat_ref[:]
     seg = seg_ref[:]          # (EP, H) score-sum (incl. mask row E)
@@ -185,11 +197,18 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
     def attention(q_rot, hbm_k, hbm_v, l, n_chunks, causal, kr, vr):
         """Single-pass online-softmax attention over streamed chunks;
         returns (n, EP) f32 (pad lanes zero). Running max / denominator
-        stay per-(n, H) in vregs — nothing score-shaped ever hits VMEM."""
+        stay per-(n, H) in vregs — nothing score-shaped ever hits VMEM.
+
+        fused_gather (causal only): each streamed chunk is beam-permuted
+        in VMEM via a one-hot matmul (exact row selection on the MXU) and
+        written back to HBM — the XLA-side per-step cache gather and its
+        full-S read+write round trip disappear; the kernel touches only
+        the chunks the causal pass visits anyway."""
         if causal:
             n_needed = (step + CH) // CH          # dynamic trip count
         else:
             n_needed = n_chunks
+        do_permute = causal and fused_gather
 
         def body(c, carry):
             m_run, l_run, acc = carry
@@ -204,6 +223,13 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
             dma_k(hbm_k, l, c, slot).wait()
             dma_v(hbm_v, l, c, slot).wait()
             lo = c * CH
+            if do_permute:
+                pm = perm_ref[:]
+                for rr in range(CH):
+                    kbuf[slot, rr] = _mm(pm, kbuf[slot, rr]).astype(
+                        jnp.bfloat16)
+                    vbuf[slot, rr] = _mm(pm, vbuf[slot, rr]).astype(
+                        jnp.bfloat16)
             if causal:
                 in_chunk = (step >= lo) & (step < lo + CH)
 
@@ -211,6 +237,13 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
                 def _():
                     kbuf[slot, step - lo] = kr
                     vbuf[slot, step - lo] = vr
+            if do_permute:
+                pltpu.make_async_copy(
+                    kbuf.at[slot], selfk_out.at[l, pl.ds(lo, CH)],
+                    wbk_sem.at[slot]).start()
+                pltpu.make_async_copy(
+                    vbuf.at[slot], selfv_out.at[l, pl.ds(lo, CH)],
+                    wbv_sem.at[slot]).start()
 
             prod = kbuf[slot] * q_rot[None]
             sc = _mm(prod.reshape(CH * n, EP).astype(jnp.bfloat16),
@@ -229,6 +262,16 @@ def _decode_kernel(step_ref, tgt_ref, rots_ref, bbig_ref, lnw_ref,
             scale = _mm(alpha.astype(jnp.bfloat16), segv)   # (n, EP)
             acc = acc * scale + jnp.sum(
                 w_e * vbuf[slot].astype(jnp.float32), axis=0)
+            if do_permute:
+                # drain the write-back before this slot can be prefetched
+                # into two iterations from now (it overlapped the score
+                # math above)
+                pltpu.make_async_copy(
+                    kbuf.at[slot], selfk_out.at[l, pl.ds(lo, CH)],
+                    wbk_sem.at[slot]).wait()
+                pltpu.make_async_copy(
+                    vbuf.at[slot], selfv_out.at[l, pl.ds(lo, CH)],
+                    wbv_sem.at[slot]).wait()
             return m_new, l_new, acc
 
         dma_k(hbm_k, l, 0, 0).start()
@@ -335,12 +378,14 @@ def _vocab_chunk(vp: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=('n', 's_len', 'm_len', 'vp',
-                                             'interpret'))
+                                             'fused_gather', 'interpret'))
 def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
                        mem_k, mem_v, n: int, s_len: int,
-                       m_len: int, vp: int, interpret: bool = False
+                       m_len: int, vp: int, perm=None,
+                       fused_gather: bool = False,
+                       interpret: bool = False
                        ) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                  jax.Array]:
+                                  jax.Array, jax.Array, jax.Array]:
     """One fused decoder step.
 
     Args:
@@ -351,11 +396,19 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
       self_k/self_v: (L, S, N, EP) bf16 caches (HBM).
       mem_k/mem_v: (L, M, N, EP) bf16 prerotated memory (prepare_mem —
         mem_k lane E carries the additive length mask).
-    Returns (tgt_out (N,EP), k_new (L,N,EP), v_new (L,N,EP)).
+      perm: (N, N) bf16 one-hot beam-parent matrix (fused_gather mode).
+      fused_gather: permute + write back each streamed cache chunk
+        in-kernel (the caches are donated/aliased and updated in place);
+        the XLA-side cache gather AND the k/v dynamic_update_slice become
+        unnecessary.
+    Returns (tgt_out (N,EP), k_new (L,N,EP), v_new (L,N,EP), logits|None,
+    self_k', self_v') — the cache outputs alias the inputs (unchanged
+    objects in non-fused mode).
     """
     vch = _vocab_chunk(vp) if vp else 0
     kernel = functools.partial(_decode_kernel, n=n, s_len=s_len,
-                               m_len=m_len, vp=vp, vch=vch)
+                               m_len=m_len, vp=vp, vch=vch,
+                               fused_gather=fused_gather)
     vm = pltpu.VMEM
     out_shape = [
         jax.ShapeDtypeStruct((n, EP), jnp.bfloat16),
@@ -370,7 +423,9 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         pltpu.VMEM((FF, EP), jnp.bfloat16),           # ff2
     ]
     sems = [pltpu.SemaphoreType.DMA((2,))] * 4
-    args = [jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, rots,
+    if perm is None:
+        perm = jnp.zeros((n, n), jnp.bfloat16)
+    args = [jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, perm, rots,
             weights['bbig'], weights['ln_w'], weights['ln_b'],
             weights['ffb1'], weights['ffb2'], weights['jmat'],
             weights['seg'], weights['segv'], weights['wpred1'],
@@ -384,23 +439,44 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         sems.append(pltpu.SemaphoreType.DMA((2,)))
         args.append(weights['wout'])
         n_any = 8
+    io_aliases = {}
+    out_specs = [pl.BlockSpec(memory_space=vm)] * len(out_shape)
+    if fused_gather:
+        # aliased cache outputs live in ANY (HBM) like their inputs;
+        # input indices: self_k = 15, self_v = 16 (see args order above)
+        io_aliases = {15: len(out_shape), 16: len(out_shape) + 1}
+        out_shape.append(
+            jax.ShapeDtypeStruct((L, s_len, n, EP), jnp.bfloat16))
+        out_shape.append(
+            jax.ShapeDtypeStruct((L, s_len, n, EP), jnp.bfloat16))
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        sems += [pltpu.SemaphoreType.DMA((2,)),
+                 pltpu.SemaphoreType.DMA((2,))]
     res = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # step
-        ] + [pl.BlockSpec(memory_space=vm)] * 13
+        ] + [pl.BlockSpec(memory_space=vm)] * 14
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
-        out_specs=[pl.BlockSpec(memory_space=vm)] * len(out_shape),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch + sems,
+        input_output_aliases=io_aliases,
         # the S=256 second-tier decode at n=160 sits ~100KB over the 16MB
         # default scoped-vmem budget (measured crash on v5e); grant the
         # small headroom the allocator needs for its stack
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=17 << 20),
         interpret=interpret,
     )(*args)
-    return tuple(res) if vp else tuple(res) + (None,)
+    res = list(res)
+    out, knew, vnew = res[0], res[1], res[2]
+    logits = res[3] if vp else None
+    if fused_gather:
+        selfk_new, selfv_new = res[-2], res[-1]
+    else:
+        selfk_new, selfv_new = self_k, self_v
+    return out, knew, vnew, logits, selfk_new, selfv_new
 
 
 def prepare_decode_weights(params: Dict) -> Dict[str, jax.Array]:

@@ -41,7 +41,7 @@ def test_pallas_decode_matches_reference():
                                             xpos_tables)
         tgt = pd.pad_e(embd[tok].astype(jnp.bfloat16))
         vp = -(-params['embd.weight'].shape[0] // 128) * 128
-        out_pal, k_new, v_new, logits = pd.decode_step_pallas(
+        out_pal, k_new, v_new, logits, _, _ = pd.decode_step_pallas(
             jnp.int32(step), tgt, rots[step], weights, self_k, self_v,
             mem_k, mem_v, n=n, s_len=S, m_len=M, vp=vp, interpret=True)
         self_k = jax.lax.dynamic_update_slice(
@@ -87,17 +87,21 @@ def test_char_topk_fused_matches_xla():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize('fused_gather', ['0', '1'])
 @pytest.mark.parametrize('mode', ['xla-head', 'in-kernel-head',
                                   'fused-topk'])
-def test_beam_decode_pallas_harness_matches_xla(monkeypatch, mode):
+def test_beam_decode_pallas_harness_matches_xla(monkeypatch, mode,
+                                                fused_gather):
     """Full beam_decode through the Pallas harness (interpret) must yield
     the same sequences/probs as the XLA decode path on a tiny model —
     with the char head in XLA, fused into the decode kernel, and as the
-    separate fused top-k launch."""
+    separate fused top-k launch; with the beam cache gather in XLA and
+    fused into the kernel (in-place permute + write-back)."""
     monkeypatch.setenv('MIT_TPU_OCR_KERNEL_CHARHEAD',
                        '1' if mode == 'in-kernel-head' else '0')
     monkeypatch.setenv('MIT_TPU_OCR_KERNEL_TOPK',
                        '1' if mode == 'fused-topk' else '0')
+    monkeypatch.setenv('MIT_TPU_OCR_FUSED_GATHER', fused_gather)
     n = 2
     params = ocr48.init_params(dict_size=48)
     rs = np.random.RandomState(7)
