@@ -16,15 +16,39 @@ TH = 48
 PAGE = 1536
 
 
-def timed(fn, n=8):
+REPS = 8
+
+
+def timed(fn, n=6):
+    """Loop REPS executions inside one jit with a serializing carry and
+    subtract the per-call tunnel floor (bench.py methodology — a single
+    call is dominated by the ~35-60 ms round trip)."""
+
+    @jax.jit
+    def looped():
+        def body(i, s):
+            return s + jnp.sum(fn(s * 0))
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    @jax.jit
+    def tiny():
+        return jnp.float32(1)
+
     for _ in range(3):
-        float(jnp.sum(fn()))
+        float(looped())
+        float(tiny())
+    floors = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(tiny())
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        float(jnp.sum(fn()))
+        float(looped())
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return max(min(ts) - floor, 0.0) / REPS
 
 
 def main():
@@ -43,8 +67,10 @@ def main():
     Hs = np.stack(Hs)
     valid = np.asarray(valid, np.int32)
 
-    t_g = timed(lambda: warp.crop_batch(
-        img, jnp.asarray(Hs), jnp.asarray(valid), out_h=TH, out_w=BW))
+    Hs_j = jnp.asarray(Hs, jnp.float32)
+    valid_j = jnp.asarray(valid)
+    t_g = timed(lambda bump: warp.crop_batch(
+        img, Hs_j + bump, valid_j, out_h=TH, out_w=BW))
     print(f'gather crop_batch {N}x{TH}x{BW}: {t_g*1e3:.1f} ms')
 
     plans = [warp.separable_plan(H, TH, BW, warp.SEP_SRC_H, 2 * BW)
@@ -53,8 +79,8 @@ def main():
     origins = jnp.asarray([p[0] for p in plans], jnp.int32)
     ycoef = jnp.asarray([p[1] for p in plans], jnp.float32)
     xcoef = jnp.asarray([p[2] for p in plans], jnp.float32)
-    t_s = timed(lambda: warp.crop_batch_separable(
-        img, origins, ycoef, xcoef, jnp.asarray(valid), TH, BW,
+    t_s = timed(lambda bump: warp.crop_batch_separable(
+        img, origins, ycoef + bump, xcoef, valid_j, TH, BW,
         warp.SEP_SRC_H, 2 * BW))
     print(f'separable matmul {N}x{TH}x{BW}: {t_s*1e3:.1f} ms')
 

@@ -112,19 +112,28 @@ class Model48pxOCR(OfflineOCR):
             quadrilaterals
             and isinstance(quadrilaterals[0][0], Quadrilateral))
 
-        # Crop extraction. MEASURED on v5e: the batched device gather
-        # costs ~21 ms per 16-crop chunk at bucket 1024 (~1.3 ms/crop
-        # at bucket 128) — TPU gathers are slow — vs ~2-5 ms host cv2
-        # warps + a negligible upload. Host crops are therefore the
-        # DEFAULT; MIT_TPU_DEVICE_CROPS=1 opts into the device path
-        # (useful when the host is saturated or remote).
-        use_device_crops = (is_quadrilaterals and
-                            __import__('os').environ
-                            .get('MIT_TPU_DEVICE_CROPS', '0') == '1')
+        # Crop extraction. MEASURED on v5e: the batched device GATHER
+        # costs ~21-65 ms per 16-crop chunk (TPU gathers scalarize) vs
+        # ~2-5 ms host cv2 warps — but the SEPARABLE matmul resampler
+        # (ops/warp, axis-aligned quads only) measures under the tunnel
+        # noise floor (≲3 ms/chunk, r3). Default 'auto': device crops
+        # when EVERY quad takes the separable path, host cv2 otherwise;
+        # MIT_TPU_DEVICE_CROPS=0/1 forces host/device.
+        crops_env = __import__('os').environ.get('MIT_TPU_DEVICE_CROPS',
+                                                 'auto')
+        use_device_crops = is_quadrilaterals and crops_env != '0'
         if use_device_crops:
             plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
                      for q, d in quadrilaterals]
             widths_all = [p[0] for p in plans]
+            if crops_env == 'auto':
+                # conservative feasibility probe at each quad's own
+                # (pre-bucket) width; chunk buckets are only wider
+                use_device_crops = all(
+                    warp.separable_plan(H, TEXT_HEIGHT, w,
+                                        warp.SEP_SRC_H, 2 * w) is not None
+                    for w, H in plans)
+        if use_device_crops:
             img_dev = jnp.asarray(np.ascontiguousarray(image))
         else:
             region_imgs = [q.get_transformed_region(image, d, TEXT_HEIGHT)
