@@ -222,7 +222,8 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
         char_logprobs=lambda dec: char_logprobs(params, dec),
         cache_gather=lambda caches, idx: Caches(
             caches.self_k[:, idx], caches.self_v[:, idx],
-            caches.mem_k, caches.mem_v, caches.out[idx]),
+            caches.mem_k, caches.mem_v,
+            (caches.out if ocr48._defer_colors() else caches.out[idx])),
         cache_out=lambda caches: caches.out,
         embd_dim=EMBD_DIM)
     state = ocr48.run_beam(harness, memory, memory_mask, n, beams_k,

@@ -753,15 +753,19 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
         char_tk = lambda dec, k: char_topk(params, dec, k, wout)
 
     if fused_gather:
-        # the kernel permutes self-K/V in place at the NEXT step; only the
-        # color-head output cache still needs the XLA gather
-        cache_gather = lambda caches, idx: caches._replace(
-            out=caches.out[idx])
+        # the kernel permutes self-K/V in place at the NEXT step; the
+        # color-head output cache is deferred (run_beam row_src chain)
+        # unless the eager legacy mode is forced
+        if _defer_colors():
+            cache_gather = lambda caches, idx: caches
+        else:
+            cache_gather = lambda caches, idx: caches._replace(
+                out=caches.out[idx])
     else:
         cache_gather = lambda caches, idx: caches._replace(
             self_k=caches.self_k[:, :, idx],
             self_v=caches.self_v[:, :, idx],
-            out=caches.out[idx])
+            out=(caches.out if _defer_colors() else caches.out[idx]))
     return BeamHarness(
         init_caches=init,
         decode_step=dstep,
@@ -777,6 +781,16 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
 # Beam search (fixed shape, while_loop)
 # --------------------------------------------------------------------------
 
+def _defer_colors() -> bool:
+    """Deferred color-cache reconstruction (default ON): the while_loop
+    never gathers the (N*k, S, E) last-layer output cache by beam parent.
+    Instead a tiny (N*k, S) int32 ``row_src`` matrix tracks which slot
+    wrote each output row, and the winning beam's colors are assembled by
+    ONE gather after the loop — bit-identical outputs, minus a multi-MB
+    gather + latch per step (13 MB/step at S=256)."""
+    return os.environ.get('MIT_TPU_OCR_DEFER_COLORS', '1') == '1'
+
+
 class BeamState(NamedTuple):
     step: jax.Array          # scalar int32 — next write position
     out_idx: jax.Array       # (N*k, S+1) int32
@@ -786,9 +800,15 @@ class BeamState(NamedTuple):
     best_seq: jax.Array      # (N, S+1) int32 latched
     best_logprob: jax.Array  # (N,) f32 latched
     best_colors: jax.Array   # (N, S, E) latched last-layer outputs
+                             # (eager legacy mode; (1,1,1) dummy when
+                             # colors are deferred)
     parent: jax.Array        # (N*k,) int32 — last step's beam parents
                              # (identity until a selection happens; only
                              # consumed by fused_gather harnesses)
+    row_src: jax.Array       # (N*k, S) int32 — slot that wrote each out
+                             # row, permuted like out_idx (deferred mode;
+                             # (1, 1) dummy in eager mode)
+    best_row_src: jax.Array  # (N, S) int32 latched row sources
 
 
 class BeamHarness(NamedTuple):
@@ -835,28 +855,41 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
     out_idx = out_idx.at[:, 1].set(top_i[jnp.arange(nk), beam_pos])
     log_probs = top_v[jnp.arange(nk), beam_pos]
 
+    defer = _defer_colors()
     state = BeamState(
         step=jnp.int32(1), out_idx=out_idx, log_probs=log_probs,
         caches=caches, done=jnp.zeros((n,), bool),
         best_seq=jnp.full((n, max_len + 1), END_TOK, jnp.int32),
         best_logprob=jnp.full((n,), -jnp.inf, jnp.float32),
-        best_colors=jnp.zeros((n, max_len, harness.embd_dim), memory.dtype),
-        parent=jnp.arange(nk, dtype=jnp.int32))
+        best_colors=jnp.zeros(
+            (1, 1, 1) if defer else (n, max_len, harness.embd_dim),
+            memory.dtype),
+        parent=jnp.arange(nk, dtype=jnp.int32),
+        row_src=(jnp.broadcast_to(
+            jnp.arange(nk, dtype=jnp.int32)[:, None],
+            (nk, max_len)) if defer else jnp.zeros((1, 1), jnp.int32)),
+        best_row_src=jnp.zeros((n, max_len) if defer else (1, 1),
+                               jnp.int32))
 
     def latch(state: BeamState, newly_done: jax.Array) -> BeamState:
         lp = state.log_probs.reshape(n, beams_k)
         best_beam = jnp.argmax(lp, axis=1)
         flat = jnp.arange(n) * beams_k + best_beam
         seq = state.out_idx[flat]
-        colors = harness.cache_out(state.caches)[flat]
         take = newly_done[:, None]
-        return state._replace(
+        upd = dict(
             done=state.done | newly_done,
             best_seq=jnp.where(take, seq, state.best_seq),
             best_logprob=jnp.where(newly_done, lp[jnp.arange(n), best_beam],
-                                   state.best_logprob),
-            best_colors=jnp.where(take[:, :, None], colors,
-                                  state.best_colors))
+                                   state.best_logprob))
+        if defer:
+            upd['best_row_src'] = jnp.where(take, state.row_src[flat],
+                                            state.best_row_src)
+        else:
+            colors = harness.cache_out(state.caches)[flat]
+            upd['best_colors'] = jnp.where(take[:, :, None], colors,
+                                           state.best_colors)
+        return state._replace(**upd)
 
     def cond(state: BeamState):
         return (state.step < max_len) & ~jnp.all(state.done)
@@ -888,16 +921,33 @@ def run_beam(harness: BeamHarness, memory: jax.Array,
         new_out = jax.vmap(lambda row, t, s: row.at[s].set(t))(
             new_out, tok, jnp.full((nk,), step + 1))
         new_caches = harness.cache_gather(caches, parent_flat)
+        if defer:
+            # decode_step wrote out row ``step`` for the PRE-selection
+            # slots: record identity there, then permute like out_idx
+            rs = jax.lax.dynamic_update_slice(
+                state.row_src, jnp.arange(nk, dtype=jnp.int32)[:, None],
+                (0, step))
+            new_row_src = rs[parent_flat]
+        else:
+            new_row_src = state.row_src
         new_state = state._replace(step=step + 1, out_idx=new_out,
                                    log_probs=sel_v.reshape(-1),
                                    caches=new_caches,
+                                   row_src=new_row_src,
                                    parent=parent_flat.astype(jnp.int32))
         fin = (tok == END_TOK).reshape(n, beams_k)
         newly_done = (fin.sum(axis=1) >= max_finished_hypos) & ~state.done
         return latch(new_state, newly_done)
 
     state = jax.lax.while_loop(cond, body, state)
-    return latch(state, ~state.done)
+    state = latch(state, ~state.done)
+    if defer:
+        # ONE gather assembles the winning beams' color rows from the
+        # unpermuted output cache via the recorded row sources
+        outc = harness.cache_out(state.caches)
+        cols = outc[state.best_row_src, jnp.arange(max_len)[None, :]]
+        state = state._replace(best_colors=cols)
+    return state
 
 
 @functools.partial(jax.jit,
@@ -945,7 +995,7 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
             cache_gather=lambda caches, idx: StackedCaches(
                 self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
                 mem_k=caches.mem_k, mem_v=caches.mem_v,
-                out=caches.out[idx]),
+                out=(caches.out if _defer_colors() else caches.out[idx])),
             cache_out=lambda caches: caches.out,
             embd_dim=EMBD_DIM)
     else:
@@ -962,7 +1012,7 @@ def beam_decode(params: Dict, images: jax.Array, valid_widths: jax.Array,
             cache_gather=lambda caches, idx: DecodeCaches(
                 self_k=caches.self_k[:, idx], self_v=caches.self_v[:, idx],
                 mem_k=caches.mem_k, mem_v=caches.mem_v,
-                out=caches.out[idx]),
+                out=(caches.out if _defer_colors() else caches.out[idx])),
             cache_out=lambda caches: caches.out,
             embd_dim=EMBD_DIM)
     state = run_beam(harness, memory, memory_mask, n, beams_k, max_len,

@@ -230,3 +230,23 @@ def test_stacked_decode_matches_reference_step():
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_deferred_colors_matches_eager(params, monkeypatch):
+    """MIT_TPU_OCR_DEFER_COLORS (row_src parent-chain reconstruction after
+    the loop) must be bit-identical to the legacy per-step color-cache
+    gather — sequences, probs AND color rows."""
+    rs = np.random.RandomState(11)
+    imgs = jnp.asarray(rs.rand(3, 48, 64, 3).astype(np.float32) * 2 - 1)
+    widths = jnp.asarray([40, 64, 52])
+
+    rets = {}
+    for mode in ('0', '1'):
+        monkeypatch.setenv('MIT_TPU_OCR_DEFER_COLORS', mode)
+        # bypass the module-level jit cache: env is read at trace time
+        rets[mode] = ocr48.beam_decode.__wrapped__(
+            params, imgs, widths, beams_k=3, max_len=10)
+    for key in ('sequences', 'probs', 'fg', 'bg', 'fg_ind', 'bg_ind'):
+        np.testing.assert_array_equal(np.asarray(rets['0'][key]),
+                                      np.asarray(rets['1'][key]),
+                                      err_msg=key)
