@@ -13,6 +13,7 @@ asymmetrically for even sizes and would break checkpoint parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -22,6 +23,19 @@ Array = jax.Array
 Params = dict
 
 _DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def _conv_out_type(x: Array):
+    """Accumulation/output dtype request for convs.
+
+    Default: ask XLA for the f32 accumulator then round to the input dtype
+    (one explicit convert; MXU accumulates f32 either way so results are
+    identical). MIT_TPU_CONV_NATIVE_OUT=1 requests the input dtype
+    directly — an A/B handle for whether XLA fuses the convert into the
+    conv epilogue on this backend (read at trace time)."""
+    if os.environ.get('MIT_TPU_CONV_NATIVE_OUT', '0') == '1':
+        return None
+    return jnp.float32
 
 
 def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
@@ -43,7 +57,7 @@ def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
         x, w.astype(x.dtype), (stride, stride), pad,
         rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
@@ -65,7 +79,7 @@ def conv_transpose2d(x: Array, w: Array, b: Optional[Array] = None,
         x, w.astype(x.dtype), window_strides=(1, 1),
         padding=[(pad, pad + output_padding), (pad, pad + output_padding)],
         lhs_dilation=(stride, stride), dimension_numbers=_DN,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
@@ -100,7 +114,7 @@ def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
 def linear(x: Array, w: Array, b: Optional[Array] = None) -> Array:
     """w is (in, out) post conversion (torch stores (out, in))."""
     out = jnp.dot(x, w.astype(x.dtype),
-                  preferred_element_type=jnp.float32).astype(x.dtype)
+                  preferred_element_type=_conv_out_type(x)).astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
