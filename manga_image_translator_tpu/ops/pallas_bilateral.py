@@ -78,13 +78,137 @@ def _kernel(sw_ref, img_hbm, out_ref, scratch, sem,
     out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
 
 
+def _kernel_hoisted(sw_ref, img_hbm, out_ref, scratch, sem,
+                    *, radius: int, tile_h: int, width: int,
+                    gauss_color: float):
+    """Nested dy/dx loops with the row shift HOISTED: the v1 kernel does 6
+    full-halo-plane rolls per tap (2 dims x 3 channels); here each dy rolls
+    rows once (3 rolls per 2r+1 taps) and the inner dx loop only rolls
+    columns of the already-row-shifted (tile_h, halo_w) planes — ~2x less
+    VPU data movement, which dominates this kernel (the exp is cheap by
+    comparison). With bf16 scratch (uint8 pixel values are exact in bf16)
+    the moved bytes halve again; all arithmetic stays f32 so the output is
+    bit-identical to the v1 kernel."""
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * radius), :],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    center = scratch[:, radius:radius + tile_h, radius:radius + width]
+    center = center.astype(jnp.float32)
+
+    side = 2 * radius + 1
+    halo_h = tile_h + 2 * radius
+    halo_w = scratch.shape[2]
+
+    def row(dy_i, carry):
+        rows = [pltpu.roll(scratch[c], (halo_h - dy_i) % halo_h, 0)[:tile_h]
+                for c in range(3)]
+
+        def col(dx_i, carry2):
+            acc, norm = carry2
+            planes = [
+                pltpu.roll(rows[c], (halo_w - dx_i) % halo_w, 1)
+                [:, :width].astype(jnp.float32)
+                for c in range(3)]
+            sh = jnp.stack(planes, axis=0)
+            cdiff = jnp.sum(jnp.abs(sh - center), axis=0)
+            w = sw_ref[dy_i, dx_i] * jnp.exp(gauss_color * cdiff * cdiff)
+            return acc + w[None] * sh, norm + w
+
+        return jax.lax.fori_loop(0, side, col, carry)
+
+    acc, norm = jax.lax.fori_loop(
+        0, side, row,
+        (jnp.zeros((3, tile_h, width), jnp.float32),
+         jnp.zeros((tile_h, width), jnp.float32)))
+    out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
+
+
+def _kernel_skip(sw_ref, dy_ref, dx_ref, img_hbm, out_ref, scratch, sem,
+                 *, radius: int, tile_h: int, width: int,
+                 gauss_color: float, n_taps: int):
+    """Circular-window tap skip: cv2's window zeroes the space weight
+    outside d² > r² (~32% of the (2r+1)² square at r=8), and the square
+    kernels still pay full VPU arithmetic for those zero-contribution taps.
+    This variant iterates ONLY the valid taps: one flat fori over the
+    ``n_taps`` in-circle offsets, with (dy, dx) read from the two
+    SMEM-prefetched lists (the kernel is VPU-arithmetic-bound — the v3
+    hoisted-roll experiment measured the rolls ~free — so fewer taps cuts
+    the dominant cost proportionally). A static per-dy unroll was tried
+    first and blew the 16M scoped-VMEM stack (17 live row buffers).
+    Zero-weight taps add exactly 0 to acc and norm, so skipping them is
+    bit-identical."""
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * radius), :],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    center = scratch[:, radius:radius + tile_h, radius:radius + width]
+    center = center.astype(jnp.float32)
+
+    halo_h = tile_h + 2 * radius
+    halo_w = scratch.shape[2]
+
+    def tap(t, carry):
+        acc, norm = carry
+        dy_i = dy_ref[t]
+        dx_i = dx_ref[t]
+        planes = []
+        for c in range(3):
+            p = pltpu.roll(scratch[c], (halo_h - dy_i) % halo_h, 0)
+            p = pltpu.roll(p, (halo_w - dx_i) % halo_w, 1)
+            planes.append(p[:tile_h, :width].astype(jnp.float32))
+        sh = jnp.stack(planes, axis=0)
+        cdiff = jnp.sum(jnp.abs(sh - center), axis=0)
+        w = sw_ref[dy_i, dx_i] * jnp.exp(gauss_color * cdiff * cdiff)
+        return acc + w[None] * sh, norm + w
+
+    acc, norm = jax.lax.fori_loop(
+        0, n_taps, tap,
+        (jnp.zeros((3, tile_h, width), jnp.float32),
+         jnp.zeros((tile_h, width), jnp.float32)))
+    out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
+
+
+def _valid_taps(radius: int) -> tuple:
+    """(dy, dx) index lists (0-based into the (2r+1)² table) of the cv2
+    circular window (d² <= r²)."""
+    dys, dxs = [], []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy * dy + dx * dx <= radius * radius:
+                dys.append(dy + radius)
+                dxs.append(dx + radius)
+    return np.asarray(dys, np.int32), np.asarray(dxs, np.int32)
+
+
+def _variant() -> str:
+    """'v1' — per-tap 2D rolls, f32 scratch (the r2 kernel);
+    'v2' — hoisted row rolls, bf16 scratch: NOT compilable on current
+    Mosaic ("Rotate with non-32-bit data" unimplemented) — kept for
+    interpret-mode tests and future Mosaic versions;
+    'v3' — hoisted row rolls, f32 scratch;
+    'v4' — hoisted row rolls + circular-window tap skip (default)."""
+    import os
+    return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v4')
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('d', 'sigma_color', 'sigma_space'))
+                   static_argnames=('d', 'sigma_color', 'sigma_space',
+                                    'variant'))
 def bilateral_filter_pallas(img: jax.Array, d: int = 17,
                             sigma_color: float = 80.0,
-                            sigma_space: float = 80.0) -> jax.Array:
+                            sigma_space: float = 80.0,
+                            variant: str = None) -> jax.Array:
     """(H, W, 3) image → bilateral-smoothed, cv2 semantics (circular window,
     L1 color distance, gaussian space/color weights)."""
+    if variant is None:
+        variant = _variant()
     radius = d // 2
     h, w = img.shape[:2]
     tiles = -(-h // TILE_H)
@@ -93,25 +217,37 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
     # the extra columns carry edge padding and are never read back
     halo_w = -(-(w + 2 * radius) // 128) * 128
 
+    scratch_dtype = jnp.bfloat16 if variant == 'v2' else jnp.float32
     x = img.astype(jnp.float32).transpose(2, 0, 1)  # (3, H, W)
     x = jnp.pad(x, ((0, 0), (radius, radius + pad_h),
                     (radius, halo_w - w - radius)), mode='edge')
+    x = x.astype(scratch_dtype)
 
     space_w = _space_weight_table(radius, sigma_space)
     gauss_color = -1.0 / (2.0 * sigma_color ** 2)
 
-    kernel = functools.partial(
-        _kernel, radius=radius, tile_h=TILE_H, width=w,
-        gauss_color=gauss_color)
+    if variant == 'v4':
+        dys, dxs = _valid_taps(radius)
+        kernel = functools.partial(
+            _kernel_skip, radius=radius, tile_h=TILE_H, width=w,
+            gauss_color=gauss_color, n_taps=len(dys))
+        prefetch = (jnp.asarray(space_w), jnp.asarray(dys),
+                    jnp.asarray(dxs))
+    else:
+        kernel = functools.partial(
+            _kernel if variant == 'v1' else _kernel_hoisted,
+            radius=radius, tile_h=TILE_H, width=w,
+            gauss_color=gauss_color)
+        prefetch = (jnp.asarray(space_w),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((3, TILE_H, w), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, TILE_H + 2 * radius, halo_w), jnp.float32),
+            pltpu.VMEM((3, TILE_H + 2 * radius, halo_w), scratch_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -119,7 +255,7 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, tiles * TILE_H, w), jnp.float32),
-    )(jnp.asarray(space_w), x)
+    )(*prefetch, x)
 
     out = out[:, :h, :].transpose(1, 2, 0)
     if jnp.issubdtype(img.dtype, jnp.integer):

@@ -33,3 +33,19 @@ def test_matches_xla_formulation():
     ref = np.asarray(bilateral_filter(jnp.asarray(img), 7, 30.0, 30.0))
     diff = np.abs(ours[4:-4, 4:-4].astype(int) - ref[4:-4, 4:-4].astype(int))
     assert diff.max() <= 1
+
+
+@pytest.mark.parametrize('variant', ['v2', 'v3', 'v4'])
+def test_hoisted_kernel_matches_v1(variant):
+    """The hoisted-roll kernels (v2 bf16 scratch / v3 f32 scratch) and the
+    circular-tap-skip kernel (v4) are bit-identical to the v1 per-tap-roll
+    kernel on uint8 input (pixel integers 0..255 are exact in bf16; all
+    arithmetic stays f32; skipped taps contribute exactly zero)."""
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 255, (72, 100, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 9, 40.0, 40.0, variant='v1'))
+        new = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 9, 40.0, 40.0, variant=variant))
+    np.testing.assert_array_equal(base, new)
