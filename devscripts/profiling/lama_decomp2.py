@@ -146,7 +146,6 @@ def main():
             if f'model.{base + 1}.running_mean' in P(params):
                 x = p.bn(f'model.{base + 1}', x)
             x = jax.nn.relu(x)
-        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
         x = lama._final_conv(p, f'model.{up0 + 3 * lama.N_DOWN + 1}', x)
         return x.astype(jnp.float32).sum()
     print(f'ups+final: {timed(ups_final, xl, xg, reps=4)*1e3:.1f} ms',

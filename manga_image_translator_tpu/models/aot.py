@@ -61,14 +61,12 @@ def _ws_weight(w: jax.Array, gain: jax.Array, transpose: bool) -> jax.Array:
 def _gated_conv(p: P, x: jax.Array, ks: int, stride: int = 1,
                 dilation: int = 1) -> jax.Array:
     pad = ((ks - 1) * dilation) // 2
-    if pad:
-        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                    mode='reflect')
     w_s = _ws_weight(p['conv.weight'], p['conv.gain'], False)
     w_g = _ws_weight(p['conv_gate.weight'], p['conv_gate.gain'], False)
-    signal = conv2d(x, w_s, p['conv.bias'], stride=stride, dilation=dilation)
-    gate = conv2d(x, w_g, p['conv_gate.bias'], stride=stride,
-                  dilation=dilation)
+    signal = conv2d(x, w_s, p['conv.bias'], stride=stride, padding=pad,
+                    dilation=dilation, pad_mode='reflect')
+    gate = conv2d(x, w_g, p['conv_gate.bias'], stride=stride, padding=pad,
+                  dilation=dilation, pad_mode='reflect')
     return signal * sigmoid(gate) * jnp.asarray(GATE_GAIN, x.dtype)
 
 
@@ -98,15 +96,11 @@ def _aot_block(p: P, x: jax.Array) -> jax.Array:
     outs = []
     for i, rate in enumerate(RATES):
         b = p.scope(f'block{i:02d}')
-        h = jnp.pad(x, ((0, 0), (rate, rate), (rate, rate), (0, 0)),
-                    mode='reflect')
-        h = b.conv('1', h, dilation=rate)
+        h = b.conv('1', x, padding=rate, dilation=rate, pad_mode='reflect')
         outs.append(jnp.maximum(h, 0))
     out = jnp.concatenate(outs, axis=-1)
-    out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='reflect')
-    out = p.conv('fuse.1', out)
-    g = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='reflect')
-    g = p.conv('gate.1', g)
+    out = p.conv('fuse.1', out, padding=1, pad_mode='reflect')
+    g = p.conv('gate.1', x, padding=1, pad_mode='reflect')
     mask = sigmoid(_my_layer_norm(g))
     return x * (1 - mask) + out * mask
 

@@ -38,6 +38,87 @@ def _conv_out_type(x: Array):
     return jnp.float32
 
 
+def _conv_nobias(x: Array, w: Array, stride: Tuple[int, int],
+                 pad: Sequence[Tuple[int, int]], dilation: int = 1) -> Array:
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), stride, list(pad),
+        rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
+
+
+def _reflect_conv_banded(x: Array, w: Array, stride: int, p: int,
+                         dilation: int = 1) -> Array:
+    """Reflect-pad conv as one fused ZERO-pad conv + border-band recompute.
+
+    XLA fuses zero padding into the convolution itself, but a reflect pad
+    (``jnp.pad(mode='reflect')``) materializes a full padded copy of the
+    input through HBM — measured ~3 ms extra for LaMa's first stride-2
+    downsample at 1536² (devscripts/profiling/reflect_pad_probe.py). Only
+    the output rows/cols whose receptive field touches the padding differ
+    between the two, so: run the big conv with fused zero padding, then
+    overwrite the thin border bands with exact small convs over
+    reflect-padded strips. Same math per pixel; border strips are tiny.
+    """
+    n, h, wd, ci = x.shape
+    kh, kw, _, co = w.shape
+    ke = (kh - 1) * dilation + 1          # effective (dilated) extent
+    s = stride
+    out_h = (h + 2 * p - ke) // s + 1
+    out_w = (wd + 2 * p - ke) // s + 1
+    y = _conv_nobias(x, w, (s, s), [(p, p), (p, p)], dilation)
+
+    # top band: output rows r with s*r < p
+    rt = -(-p // s)
+    # bottom band: output rows r with s*r - p + ke - 1 >= h
+    rb0 = max(-(-(h + p - ke + 1) // s), rt)
+    nb = out_h - rb0
+    # left/right bands (same formulas over columns)
+    cl = -(-p // s)
+    cr0 = max(-(-(wd + p - ke + 1) // s), cl)
+    nr = out_w - cr0
+
+    if rt > 0:
+        strip = x[:, :s * (rt - 1) + ke - p]
+        strip = jnp.pad(strip, ((0, 0), (p, 0), (p, p), (0, 0)),
+                        mode='reflect')
+        y = y.at[:, :rt].set(_conv_nobias(strip, w, (s, s),
+                                          [(0, 0), (0, 0)], dilation))
+    if nb > 0:
+        strip = x[:, s * rb0 - p:]
+        strip = jnp.pad(strip, ((0, 0), (0, p), (p, p), (0, 0)),
+                        mode='reflect')
+        y = y.at[:, rb0:].set(_conv_nobias(strip, w, (s, s),
+                                           [(0, 0), (0, 0)], dilation))
+    if cl > 0 and rb0 > rt:
+        strip = x[:, s * rt - p:s * (rb0 - 1) + ke - p,
+                  :s * (cl - 1) + ke - p]
+        strip = jnp.pad(strip, ((0, 0), (0, 0), (p, 0), (0, 0)),
+                        mode='reflect')
+        y = y.at[:, rt:rb0, :cl].set(_conv_nobias(strip, w, (s, s),
+                                                  [(0, 0), (0, 0)],
+                                                  dilation))
+    if nr > 0 and rb0 > rt:
+        strip = x[:, s * rt - p:s * (rb0 - 1) + ke - p, s * cr0 - p:]
+        strip = jnp.pad(strip, ((0, 0), (0, 0), (0, p), (0, 0)),
+                        mode='reflect')
+        y = y.at[:, rt:rb0, cr0:].set(_conv_nobias(strip, w, (s, s),
+                                                   [(0, 0), (0, 0)],
+                                                   dilation))
+    return y
+
+
+def _reflect_fast_ok(x: Array, w: Array, padding, dilation: int,
+                     groups: int) -> bool:
+    if os.environ.get('MIT_TPU_REFLECT_FAST', '1') != '1':
+        return False
+    kh, kw = w.shape[0], w.shape[1]
+    ke = (kh - 1) * dilation + 1
+    p = padding[0]
+    return (padding[0] == padding[1] and groups == 1
+            and kh == kw and ke >= 2 * p + 1
+            and x.shape[1] >= ke + p and x.shape[2] >= ke + p)
+
+
 def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
            padding: Union[int, Tuple[int, int]] = 0, dilation: int = 1,
            groups: int = 1, pad_mode: str = 'zeros') -> Array:
@@ -48,6 +129,11 @@ def conv2d(x: Array, w: Array, b: Optional[Array] = None, stride: int = 1,
     if isinstance(padding, int):
         padding = (padding, padding)
     if pad_mode == 'reflect' and (padding[0] or padding[1]):
+        if _reflect_fast_ok(x, w, padding, dilation, groups):
+            out = _reflect_conv_banded(x, w, stride, padding[0], dilation)
+            if b is not None:
+                out = out + b.astype(x.dtype)
+            return out
         x = jnp.pad(x, ((0, 0), (padding[0], padding[0]),
                         (padding[1], padding[1]), (0, 0)), mode='reflect')
         pad = [(0, 0), (0, 0)]

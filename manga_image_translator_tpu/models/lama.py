@@ -531,18 +531,23 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
     pallas_stem = _pallas_shell_ok(params, H, W, 'stem')
     pallas_final = _pallas_shell_ok(params, H, W, 'final')
 
-    # model.0 reflection pad + model.1 stem FFC (all-local)
-    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
+    # model.0 reflection pad + model.1 stem FFC (all-local). The default
+    # path defers the pad to conv2d's banded reflect fast path (fused
+    # zero-pad conv + border bands); the s2d/pallas variants consume a
+    # materialized padded tensor.
     if _s2d_shell_mode() and H % 8 == 0 and W % 8 == 0 and not pallas_stem:
-        x_l, x_g = _shell_s2d(p, x, rel_pos_emb, direct_emb)
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
+        x_l, x_g = _shell_s2d(p, xp, rel_pos_emb, direct_emb)
     else:
         if pallas_stem:
-            x_l = _packed_conv(x, params['pallas.stem.weight'],
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)),
+                         mode='reflect')
+            x_l = _packed_conv(xp, params['pallas.stem.weight'],
                                params['pallas.stem.bias'], True, H, W, NGF)
             x_g = None
         else:
             x_l, x_g = _ffc_bn_act(p.scope('model.1'), x, None, 0, 0,
-                                   padding=0)
+                                   padding=3)
 
         if rel_pos_emb is not None:
             x_l = x_l + rel_pos_emb.astype(x_l.dtype)
@@ -571,8 +576,8 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
             x = p.bn(f'model.{base + 1}', x)
         x = relu(x)
 
-    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
     if pallas_final:
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode='reflect')
         x = _packed_conv(x, params['pallas.final.weight'],
                          params['pallas.final.bias'], False, H, W, 3)
     else:
@@ -581,33 +586,40 @@ def lama_generator_forward(params: Dict, img: jax.Array, mask: jax.Array,
 
 
 def _final_conv(p: P, key: str, x: jax.Array, s: int = 4) -> jax.Array:
-    """Final 7x7 conv to RGB, phase-packed when the spatial size allows.
+    """Final 7x7 reflect-pad conv to RGB, phase-packed when the spatial
+    size allows.
 
     XLA pads conv output channels to the 128 MXU lanes, so the stride-1
     64->3 conv costs M*128*K regardless of N. Packing the s x s output
     phases into channels (stride s, kernel (6+s)^2, 3*s^2 outputs) shrinks
     M by s^2: measured 23.7 -> 8.6 ms at 1536px on v5e, bit-identical.
-    ``x`` arrives already reflect-padded by 3.
+    ``x`` arrives UNPADDED; the reflect pad runs through the banded
+    fast path (functional._reflect_conv_banded) so the (H+6)² padded
+    copy — 304 MB at 1536² — never materializes in HBM.
     """
+    from .functional import _reflect_conv_banded
     w = p[f'{key}.weight']                                   # (7,7,C,3) HWIO
     b = p[f'{key}.bias'] if f'{key}.bias' in p else None
     kh, kw, ci, co = w.shape
-    h_out, w_out = x.shape[1] - (kh - 1), x.shape[2] - (kw - 1)
+    h_out, w_out = x.shape[1], x.shape[2]
     if h_out % s or w_out % s:
-        out = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), (1, 1), 'VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        out = conv2d(x, w, None, stride=1, padding=kh // 2,
+                     pad_mode='reflect')
     else:
         wp = jnp.zeros((kh + s - 1, kw + s - 1, ci, co * s * s), w.dtype)
         for dy in range(s):
             for dx in range(s):
                 i = (dy * s + dx) * co
                 wp = wp.at[dy:dy + kh, dx:dx + kw, :, i:i + co].set(w)
-        out = jax.lax.conv_general_dilated(
-            x, wp.astype(x.dtype), (s, s), 'VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        if os.environ.get('MIT_TPU_REFLECT_FAST', '1') == '1':
+            out = _reflect_conv_banded(x, wp.astype(x.dtype), s, kh // 2)
+        else:
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)),
+                         mode='reflect')
+            out = jax.lax.conv_general_dilated(
+                xp, wp.astype(x.dtype), (s, s), 'VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32).astype(x.dtype)
         n, hh, ww, _ = out.shape
         out = out.reshape(n, hh, ww, s, s, co).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(n, hh * s, ww * s, co)

@@ -37,6 +37,38 @@ def test_conv2d(stride, padding, k):
     np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
 
 
+@pytest.mark.parametrize('stride,padding,k,h,w,dil', [
+    (1, 1, 3, 17, 23, 1), (2, 1, 3, 16, 24, 1), (2, 1, 3, 17, 23, 1),
+    (1, 3, 7, 17, 23, 1), (2, 3, 7, 16, 24, 1), (1, 1, 3, 8, 8, 1),
+    (1, 2, 3, 17, 23, 2), (1, 4, 3, 17, 23, 4), (1, 8, 3, 24, 24, 8),
+    (2, 1, 4, 16, 24, 1),
+])
+def test_conv2d_reflect_banded(stride, padding, k, h, w, dil, monkeypatch):
+    """The banded fast path (zero-pad conv + border-band recompute) must
+    match both torch Conv2d(padding_mode='reflect') and the materialized
+    jnp.pad reflect path exactly."""
+    torch.manual_seed(3)
+    m = torch.nn.Conv2d(8, 16, k, stride=stride, padding=padding,
+                        dilation=dil, padding_mode='reflect')
+    x = torch.randn(2, 8, h, w)
+    with torch.no_grad():
+        ref = m(x).numpy()
+    params = convert_state_dict(m.state_dict())
+
+    monkeypatch.setenv('MIT_TPU_REFLECT_FAST', '1')
+    fast = F.conv2d(t2j_in(x), params['weight'], params['bias'],
+                    stride=stride, padding=padding, dilation=dil,
+                    pad_mode='reflect')
+    np.testing.assert_allclose(j2t_out(fast), ref, atol=2e-5)
+
+    monkeypatch.setenv('MIT_TPU_REFLECT_FAST', '0')
+    slow = F.conv2d(t2j_in(x), params['weight'], params['bias'],
+                    stride=stride, padding=padding, dilation=dil,
+                    pad_mode='reflect')
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=2e-6)
+
+
 @pytest.mark.parametrize('k,s,p', [(4, 2, 1), (3, 2, 1), (2, 2, 0)])
 def test_conv_transpose2d(k, s, p):
     torch.manual_seed(1)
