@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .functional import P, relu, sigmoid
+from .functional import P, conv2d, relu, sigmoid
 
 NGF = 64
 N_DOWN = 3
@@ -277,7 +277,32 @@ def _spectral_transform(p: P, x: jax.Array) -> jax.Array:
 def _ffc(p: P, x_l: jax.Array, x_g: Optional[jax.Array], ratio_gin: float,
          ratio_gout: float, stride: int = 1, padding: int = 0
          ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
-    """FFC: four-path local/global conv mixing (reference FFC.forward)."""
+    """FFC: four-path local/global conv mixing (reference FFC.forward).
+
+    convl2l and convl2g read the SAME input with the SAME stride/padding,
+    so they are one conv with concatenated output channels — per output
+    channel the contraction is unchanged (bit-identical), but the conv
+    dispatch count halves and the MXU sees one N=C_total matmul instead
+    of two narrow ones (MIT_TPU_LAMA_FUSE_LG=0 reverts to split convs).
+    """
+    if (os.environ.get('MIT_TPU_LAMA_FUSE_LG', '0') == '1'
+            and ratio_gout not in (0, 1)
+            and 'convl2l.weight' in p and 'convl2g.weight' in p
+            and (('convl2l.bias' in p) == ('convl2g.bias' in p))):
+        wl = p['convl2l.weight']
+        wg = p['convl2g.weight']
+        b = (jnp.concatenate([p['convl2l.bias'], p['convl2g.bias']])
+             if 'convl2l.bias' in p else None)
+        both = conv2d(x_l, jnp.concatenate([wl, wg], axis=3), b,
+                      stride=stride, padding=padding, pad_mode='reflect')
+        co_l = wl.shape[3]
+        out_l, out_g = both[..., :co_l], both[..., co_l:]
+        if x_g is not None and 'convg2l.weight' in p:
+            out_l = out_l + p.conv('convg2l', x_g, stride=stride,
+                                   padding=padding, pad_mode='reflect')
+        if x_g is not None and 'convg2g.conv1.0.weight' in p:
+            out_g = out_g + _spectral_transform(p.scope('convg2g'), x_g)
+        return out_l, out_g
     out_l = None
     out_g = None
     if ratio_gout != 1:

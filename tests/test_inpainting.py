@@ -197,3 +197,23 @@ class TestFourierUnitSplit:
         got = lama._fourier_unit_pallas(p, x, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestFusedLocalConvs:
+    def test_fused_l2l_l2g_matches_split(self, monkeypatch):
+        """convl2l+convl2g as ONE output-channel-concatenated conv must
+        reproduce the split-conv FFC exactly (same contractions, merely
+        batched along N) — full small generator, folded-BN params."""
+        params = lama.fold_bn(lama.init_params(n_blocks=2), n_blocks=2)
+        rs = np.random.RandomState(7)
+        img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32))
+        mask = jnp.asarray(
+            (rs.rand(1, 64, 64, 1) < 0.2).astype(np.float32))
+
+        monkeypatch.setenv('MIT_TPU_LAMA_FUSE_LG', '0')
+        want = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        monkeypatch.setenv('MIT_TPU_LAMA_FUSE_LG', '1')
+        got = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        np.testing.assert_allclose(got, want, atol=1e-6)
