@@ -284,8 +284,30 @@ def _ffc(p: P, x_l: jax.Array, x_g: Optional[jax.Array], ratio_gin: float,
     channel the contraction is unchanged (bit-identical), but the conv
     dispatch count halves and the MXU sees one N=C_total matmul instead
     of two narrow ones (MIT_TPU_LAMA_FUSE_LG=0 reverts to split convs).
+
+    MIT_TPU_LAMA_FUSE_LG=2 instead fuses convl2l+convg2l along the INPUT
+    channel axis (out_l = one conv over concat(x_l, x_g), K=C_l+C_g=512
+    at the trunk vs two convs with K=128/K=384) — same FLOPs, one
+    contraction instead of conv+conv+add; not bit-identical (one f32
+    accumulation order instead of two partial sums added).
     """
-    if (os.environ.get('MIT_TPU_LAMA_FUSE_LG', '0') == '1'
+    fuse_mode = os.environ.get('MIT_TPU_LAMA_FUSE_LG', '0')
+    if (fuse_mode == '2' and ratio_gout not in (0, 1) and x_g is not None
+            and 'convl2l.weight' in p and 'convg2l.weight' in p):
+        w_in = jnp.concatenate([p['convl2l.weight'], p['convg2l.weight']],
+                               axis=2)
+        b = None
+        if 'convl2l.bias' in p or 'convg2l.bias' in p:
+            b = ((p['convl2l.bias'] if 'convl2l.bias' in p else 0)
+                 + (p['convg2l.bias'] if 'convg2l.bias' in p else 0))
+        out_l = conv2d(jnp.concatenate([x_l, x_g], axis=-1), w_in, b,
+                       stride=stride, padding=padding, pad_mode='reflect')
+        out_g = p.conv('convl2g', x_l, stride=stride, padding=padding,
+                       pad_mode='reflect')
+        if 'convg2g.conv1.0.weight' in p:
+            out_g = out_g + _spectral_transform(p.scope('convg2g'), x_g)
+        return out_l, out_g
+    if (fuse_mode == '1'
             and ratio_gout not in (0, 1)
             and 'convl2l.weight' in p and 'convl2g.weight' in p
             and (('convl2l.bias' in p) == ('convl2g.bias' in p))):

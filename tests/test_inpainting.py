@@ -217,3 +217,20 @@ class TestFusedLocalConvs:
         got = np.asarray(lama.lama_generator_forward(
             params, img * (1 - mask), mask, n_blocks=2))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_fused_l2l_g2l_input_concat_matches_split(self, monkeypatch):
+        """Mode 2: out_l as ONE conv over concat(x_l, x_g) must match
+        convl2l(x_l)+convg2l(x_g) up to f32 accumulation-order noise."""
+        params = lama.fold_bn(lama.init_params(n_blocks=2), n_blocks=2)
+        rs = np.random.RandomState(11)
+        img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32))
+        mask = jnp.asarray(
+            (rs.rand(1, 64, 64, 1) < 0.2).astype(np.float32))
+
+        monkeypatch.setenv('MIT_TPU_LAMA_FUSE_LG', '0')
+        want = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        monkeypatch.setenv('MIT_TPU_LAMA_FUSE_LG', '2')
+        got = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
