@@ -292,6 +292,36 @@ def _ffc(p: P, x_l: jax.Array, x_g: Optional[jax.Array], ratio_gin: float,
     accumulation order instead of two partial sums added).
     """
     fuse_mode = os.environ.get('MIT_TPU_LAMA_FUSE_LG', '0')
+    if (fuse_mode == '3' and ratio_gout not in (0, 1) and x_g is not None
+            and 'convl2l.weight' in p and 'convg2l.weight' in p
+            and 'convl2g.weight' in p):
+        # ONE conv for all three local paths: concat(x_l,x_g) -> concat(
+        # out_l, out_g_local) with a ZERO g2g block. 2.3x the needed local
+        # FLOPs at ratio 0.75, but one dispatch and ONE read of the trunk
+        # activation instead of two — measurable when the split convs are
+        # dispatch-/HBM-bound rather than MXU-bound.
+        wl2l, wg2l = p['convl2l.weight'], p['convg2l.weight']
+        wl2g = p['convl2g.weight']
+        kh, kw, c_l, _ = wl2l.shape
+        c_g = wg2l.shape[2]
+        zero = jnp.zeros((kh, kw, c_g, wl2g.shape[3]), wl2g.dtype)
+        w_big = jnp.concatenate([
+            jnp.concatenate([wl2l, wg2l], axis=2),     # -> out_l
+            jnp.concatenate([wl2g, zero], axis=2),     # -> out_g local
+        ], axis=3)
+        b = None
+        if any(f'{k}.bias' in p for k in ('convl2l', 'convg2l', 'convl2g')):
+            b_l = ((p['convl2l.bias'] if 'convl2l.bias' in p else 0)
+                   + (p['convg2l.bias'] if 'convg2l.bias' in p else 0))
+            b_g = p['convl2g.bias'] if 'convl2g.bias' in p else \
+                jnp.zeros((wl2g.shape[3],), wl2g.dtype)
+            b = jnp.concatenate([jnp.broadcast_to(b_l, (c_l,)), b_g])
+        both = conv2d(jnp.concatenate([x_l, x_g], axis=-1), w_big, b,
+                      stride=stride, padding=padding, pad_mode='reflect')
+        out_l, out_g = both[..., :c_l], both[..., c_l:]
+        if 'convg2g.conv1.0.weight' in p:
+            out_g = out_g + _spectral_transform(p.scope('convg2g'), x_g)
+        return out_l, out_g
     if (fuse_mode == '2' and ratio_gout not in (0, 1) and x_g is not None
             and 'convl2l.weight' in p and 'convg2l.weight' in p):
         w_in = jnp.concatenate([p['convl2l.weight'], p['convg2l.weight']],
