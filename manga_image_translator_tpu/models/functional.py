@@ -109,7 +109,13 @@ def _reflect_conv_banded(x: Array, w: Array, stride: int, p: int,
 
 def _reflect_fast_ok(x: Array, w: Array, padding, dilation: int,
                      groups: int) -> bool:
-    if os.environ.get('MIT_TPU_REFLECT_FAST', '1') != '1':
+    # Default OFF: the banded path's original "neutral" TPU A/B was invalid
+    # (both arms lazily traced the same graph); the bench-harness evidence
+    # (146 vs 104 ms LaMa-18 @1536 against the pre-banded source) points to
+    # a real regression. Opt-in until the eager-trace A/B proves otherwise;
+    # it remains valuable for batched inpainting (removes the 304 MB
+    # padded-copy peak).
+    if os.environ.get('MIT_TPU_REFLECT_FAST', '0') != '1':
         return False
     kh, kw = w.shape[0], w.shape[1]
     ke = (kh - 1) * dilation + 1

@@ -688,7 +688,7 @@ def _final_conv(p: P, key: str, x: jax.Array, s: int = 4) -> jax.Array:
             for dx in range(s):
                 i = (dy * s + dx) * co
                 wp = wp.at[dy:dy + kh, dx:dx + kw, :, i:i + co].set(w)
-        if os.environ.get('MIT_TPU_REFLECT_FAST', '1') == '1':
+        if os.environ.get('MIT_TPU_REFLECT_FAST', '0') == '1':
             out = _reflect_conv_banded(x, wp.astype(x.dtype), s, kh // 2)
         else:
             xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)),
