@@ -177,6 +177,77 @@ def conv_transpose2d(x: Array, w: Array, b: Optional[Array] = None,
     return out
 
 
+def _deconv_pack_plan(k: int, s: int, padding: int):
+    """Phase decomposition of a 1-D transposed conv (k, s, p).
+
+    Output phase dy in [0, s) reads input taps x[a + o] with kernel rows
+    kh = c0 + s*t (c0 = (pad_eff - dy) mod s, pad_eff = k-1-padding),
+    at offsets o = (dy + c0 - pad_eff)/s + t. Returns per-phase
+    (kh taps, offsets) plus the common packed kernel extent."""
+    pad_eff = k - 1 - padding
+    phases = []
+    for dy in range(s):
+        c0 = (pad_eff - dy) % s
+        khs = list(range(c0, k, s))
+        offs = [(dy + kh - pad_eff) // s for kh in khs]
+        phases.append((khs, offs))
+    all_offs = [o for _, offs in phases for o in offs]
+    omin, omax = min(all_offs), max(all_offs)
+    return phases, omin, omax - omin + 1
+
+
+def conv_transpose2d_packed(x: Array, w: Array, b: Optional[Array] = None,
+                            stride: int = 2, padding: int = 1,
+                            kernel_size: int = 4) -> Array:
+    """conv_transpose2d as ONE stride-1 conv producing the s*s output
+    phases as channels + depth-to-space.
+
+    XLA lowers a transposed conv as an input-dilated conv at OUTPUT
+    resolution with the output channels padded to the 128 MXU lanes —
+    for DBNet's 4x4/s2 heads (N=1..64 out channels at up to full page
+    res) that wastes both the s^2 spatial factor and the lane padding.
+    The packed form runs at INPUT resolution with s^2*N output channels:
+    same contractions per output element (plus exact zeros), so results
+    match up to f32 accumulation order.
+
+    Requires k - 2*padding == stride (output tiles evenly; true for every
+    transposed conv in this repo: 4/2/1 and 2/2/0).
+    """
+    s = stride
+    k = kernel_size
+    ci, co = w.shape[2], w.shape[3]
+    phases, omin, kp = _deconv_pack_plan(k, s, padding)
+    wp = jnp.zeros((kp, kp, ci, co * s * s), w.dtype)
+    for dy in range(s):
+        khs_y, offs_y = phases[dy]
+        for dx in range(s):
+            khs_x, offs_x = phases[dx]
+            ch0 = (dy * s + dx) * co
+            for khy, oy in zip(khs_y, offs_y):
+                for khx, ox in zip(khs_x, offs_x):
+                    wp = wp.at[oy - omin, ox - omin, :,
+                               ch0:ch0 + co].set(w[khy, khx])
+    pad_lo, pad_hi = -omin, kp - 1 + omin
+    out = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), window_strides=(1, 1),
+        padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
+        dimension_numbers=_DN,
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
+    n, hh, ww, _ = out.shape
+    out = out.reshape(n, hh, ww, s, s, co).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, hh * s, ww * s, co)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def _deconv_pack_ok(stride: int, padding: int, kernel_size: int,
+                    output_padding: int) -> bool:
+    return (os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1'
+            and output_padding == 0
+            and kernel_size - 2 * padding == stride)
+
+
 def batch_norm(x: Array, scale: Array, bias: Array, mean: Array, var: Array,
                eps: float = 1e-5) -> Array:
     """Inference-mode BatchNorm folded to a single multiply-add."""
@@ -316,6 +387,9 @@ class P:
     def conv_t(self, name: str, x: Array, stride: int = 2, padding: int = 1,
                kernel_size: int = 4, output_padding: int = 0) -> Array:
         b = self[f'{name}.bias'] if f'{name}.bias' in self else None
+        if _deconv_pack_ok(stride, padding, kernel_size, output_padding):
+            return conv_transpose2d_packed(x, self[f'{name}.weight'], b,
+                                           stride, padding, kernel_size)
         return conv_transpose2d(x, self[f'{name}.weight'], b, stride, padding,
                                 kernel_size, output_padding)
 

@@ -84,6 +84,29 @@ def test_conv_transpose2d(k, s, p):
     np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
 
 
+@pytest.mark.parametrize('k,s,p', [(4, 2, 1), (2, 2, 0), (6, 4, 1),
+                                   (3, 3, 0)])
+def test_conv_transpose2d_phase_packed(k, s, p):
+    """Phase-packed transposed conv (one stride-1 conv + depth-to-space)
+    vs torch, for every k - 2p == s config used in the repo and then some.
+    Covers odd input sizes (the packed path has no even-size requirement:
+    output tiles by construction when k - 2p == s)."""
+    if k - 2 * p != s:
+        pytest.skip('not packable')
+    torch.manual_seed(3)
+    m = torch.nn.ConvTranspose2d(6, 5, k, stride=s, padding=p)
+    x = torch.randn(2, 6, 9, 13)
+    with torch.no_grad():
+        ref = m(x).numpy()
+    params = convert_state_dict(m.state_dict(),
+                                transposed_conv_patterns=[r'weight'])
+    out = F.conv_transpose2d_packed(t2j_in(x), params['weight'],
+                                    params['bias'], stride=s, padding=p,
+                                    kernel_size=k)
+    assert j2t_out(out).shape == ref.shape
+    np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
+
+
 def test_batch_norm():
     torch.manual_seed(2)
     m = torch.nn.BatchNorm2d(10).eval()
@@ -187,3 +210,22 @@ def test_dbnet_shapes_and_jit():
     assert float(jnp.min(db[..., 1])) >= 0.0
     assert float(jnp.max(db[..., 1])) <= 1.0
     assert float(jnp.min(mask)) >= 0.0
+
+
+def test_dbnet_deconv_pack_matches_default(monkeypatch):
+    """MIT_TPU_DECONV_PACK=1 routes every DBNet transposed conv (7 up
+    blocks + both head stacks) through the phase-packed form; the full
+    forward must match the input-dilated default."""
+    import jax
+    from manga_image_translator_tpu.models.dbnet import dbnet_forward, init_params
+    params = init_params(jax.random.PRNGKey(1))
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.rand(1, 128, 128, 3).astype(np.float32) * 2 - 1)
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '0')
+    db0, m0 = jax.jit(dbnet_forward)(params, x)
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '1')
+    db1, m1 = jax.jit(dbnet_forward)(params, x)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=2e-4, atol=2e-4)
