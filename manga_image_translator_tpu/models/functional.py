@@ -198,7 +198,8 @@ def _deconv_pack_plan(k: int, s: int, padding: int):
 
 def conv_transpose2d_packed(x: Array, w: Array, b: Optional[Array] = None,
                             stride: int = 2, padding: int = 1,
-                            kernel_size: int = 4) -> Array:
+                            kernel_size: int = 4,
+                            output_padding: int = 0) -> Array:
     """conv_transpose2d as ONE stride-1 conv producing the s*s output
     phases as channels + depth-to-space.
 
@@ -210,8 +211,10 @@ def conv_transpose2d_packed(x: Array, w: Array, b: Optional[Array] = None,
     same contractions per output element (plus exact zeros), so results
     match up to f32 accumulation order.
 
-    Requires k - 2*padding == stride (output tiles evenly; true for every
-    transposed conv in this repo: 4/2/1 and 2/2/0).
+    Requires k - 2*padding + output_padding == stride (output tiles
+    evenly; true for every strided transposed conv in this repo: 4/2/1,
+    2/2/0 and 3/2/1+op1). output_padding only extends the zero margin the
+    bottom/right phases read — the phase plan is unchanged.
     """
     s = stride
     k = kernel_size
@@ -244,8 +247,8 @@ def conv_transpose2d_packed(x: Array, w: Array, b: Optional[Array] = None,
 def _deconv_pack_ok(stride: int, padding: int, kernel_size: int,
                     output_padding: int) -> bool:
     return (os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1'
-            and output_padding == 0
-            and kernel_size - 2 * padding == stride)
+            and stride > 1
+            and kernel_size - 2 * padding + output_padding == stride)
 
 
 def batch_norm(x: Array, scale: Array, bias: Array, mean: Array, var: Array,
@@ -389,7 +392,8 @@ class P:
         b = self[f'{name}.bias'] if f'{name}.bias' in self else None
         if _deconv_pack_ok(stride, padding, kernel_size, output_padding):
             return conv_transpose2d_packed(x, self[f'{name}.weight'], b,
-                                           stride, padding, kernel_size)
+                                           stride, padding, kernel_size,
+                                           output_padding)
         return conv_transpose2d(x, self[f'{name}.weight'], b, stride, padding,
                                 kernel_size, output_padding)
 

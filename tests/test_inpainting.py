@@ -235,6 +235,23 @@ class TestFusedLocalConvs:
             params, img * (1 - mask), mask, n_blocks=2))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_deconv_pack_matches_default(self, monkeypatch):
+        """MIT_TPU_DECONV_PACK=1 routes LaMa's three k3/s2/p1/op1
+        upsample transposed convs through the phase-packed form."""
+        params = lama.fold_bn(lama.init_params(n_blocks=2), n_blocks=2)
+        rs = np.random.RandomState(17)
+        img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32))
+        mask = jnp.asarray(
+            (rs.rand(1, 64, 64, 1) < 0.2).astype(np.float32))
+
+        monkeypatch.setenv('MIT_TPU_DECONV_PACK', '0')
+        want = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        monkeypatch.setenv('MIT_TPU_DECONV_PACK', '1')
+        got = np.asarray(lama.lama_generator_forward(
+            params, img * (1 - mask), mask, n_blocks=2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_fused_single_conv_zero_block_matches_split(self, monkeypatch):
         """Mode 3: all three local paths as ONE conv (zero g2g block)."""
         params = lama.fold_bn(lama.init_params(n_blocks=2), n_blocks=2)

@@ -84,17 +84,18 @@ def test_conv_transpose2d(k, s, p):
     np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
 
 
-@pytest.mark.parametrize('k,s,p', [(4, 2, 1), (2, 2, 0), (6, 4, 1),
-                                   (3, 3, 0)])
-def test_conv_transpose2d_phase_packed(k, s, p):
+@pytest.mark.parametrize('k,s,p,op', [(4, 2, 1, 0), (2, 2, 0, 0),
+                                      (6, 4, 1, 0), (3, 3, 0, 0),
+                                      (3, 2, 1, 1), (5, 4, 1, 1)])
+def test_conv_transpose2d_phase_packed(k, s, p, op):
     """Phase-packed transposed conv (one stride-1 conv + depth-to-space)
-    vs torch, for every k - 2p == s config used in the repo and then some.
-    Covers odd input sizes (the packed path has no even-size requirement:
-    output tiles by construction when k - 2p == s)."""
-    if k - 2 * p != s:
-        pytest.skip('not packable')
+    vs torch, for every k - 2p + op == s config used in the repo and then
+    some. Covers odd input sizes (the packed path has no even-size
+    requirement: output tiles by construction when k - 2p + op == s)."""
+    assert k - 2 * p + op == s
     torch.manual_seed(3)
-    m = torch.nn.ConvTranspose2d(6, 5, k, stride=s, padding=p)
+    m = torch.nn.ConvTranspose2d(6, 5, k, stride=s, padding=p,
+                                 output_padding=op)
     x = torch.randn(2, 6, 9, 13)
     with torch.no_grad():
         ref = m(x).numpy()
@@ -102,7 +103,7 @@ def test_conv_transpose2d_phase_packed(k, s, p):
                                 transposed_conv_patterns=[r'weight'])
     out = F.conv_transpose2d_packed(t2j_in(x), params['weight'],
                                     params['bias'], stride=s, padding=p,
-                                    kernel_size=k)
+                                    kernel_size=k, output_padding=op)
     assert j2t_out(out).shape == ref.shape
     np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
 
