@@ -51,6 +51,31 @@ def _upsample2x(x):
     return jnp.repeat(x, 2, axis=2)
 
 
+def _up_conv(p: P, key: str, x: jax.Array) -> jax.Array:
+    """conv3x3(nearest2x(x)): MIT_TPU_DECONV_PACK=1 folds the repeat into
+    one phase-packed conv at input resolution (functional.py), removing
+    the 4x repeat materialization and the 64->128 lane padding."""
+    import os
+    from .functional import nearest2x_conv_packed
+    if os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1':
+        b = p[f'{key}.bias'] if f'{key}.bias' in p else None
+        return nearest2x_conv_packed(x, p[f'{key}.weight'], b)
+    return _conv(p, key, _upsample2x(x))
+
+
+def _tail_conv(p: P, key: str, x: jax.Array) -> jax.Array:
+    """Final 3x3 64->3 conv at 4x-upscaled res: phase-packed (s=8: 192
+    packed channels, M/64) when the size allows and the flag is on."""
+    import os
+    from .functional import conv2d_phase_packed
+    s = 8
+    if (os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1'
+            and x.shape[1] % s == 0 and x.shape[2] % s == 0):
+        b = p[f'{key}.bias'] if f'{key}.bias' in p else None
+        return conv2d_phase_packed(x, p[f'{key}.weight'], b, padding=1, s=s)
+    return _conv(p, key, x)
+
+
 def esrgan_forward(params: Dict, x: jax.Array, nb: int = 23) -> jax.Array:
     """x: (N, H, W, 3) float in [0, 1] → (N, 4H, 4W, 3)."""
     p = P(params)
@@ -60,10 +85,10 @@ def esrgan_forward(params: Dict, x: jax.Array, nb: int = 23) -> jax.Array:
         trunk = _rrdb(p.scope(f'model.1.sub.{i}'), trunk)
     trunk = _conv(p, f'model.1.sub.{nb}', trunk)
     fea = fea + trunk
-    fea = _lrelu(_conv(p, 'model.3', _upsample2x(fea)))
-    fea = _lrelu(_conv(p, 'model.6', _upsample2x(fea)))
+    fea = _lrelu(_up_conv(p, 'model.3', fea))
+    fea = _lrelu(_up_conv(p, 'model.6', fea))
     fea = _lrelu(_conv(p, 'model.8', fea))
-    return _conv(p, 'model.10', fea)
+    return _tail_conv(p, 'model.10', fea)
 
 
 def detect_nb(params: Dict) -> int:

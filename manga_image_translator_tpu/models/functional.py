@@ -244,6 +244,74 @@ def conv_transpose2d_packed(x: Array, w: Array, b: Optional[Array] = None,
     return out
 
 
+def conv2d_phase_packed(x: Array, w: Array, b: Optional[Array] = None,
+                        padding: int = 1, s: int = 4) -> Array:
+    """Stride-1 zero-pad conv computed as a stride-s conv over an
+    (k+s-1)^2 kernel producing co*s*s phase channels + depth-to-space.
+
+    For low-N heads (e.g. a 3x3 64->3 conv at 4x-upscaled resolution) XLA
+    pads the output channels to the 128 MXU lanes, so cost = M*128*K
+    regardless of N; packing s*s output phases into channels shrinks M by
+    s^2 (the LaMa final-conv trick, models/lama.py:_final_conv, measured
+    23.7 -> 8.6 ms at 1536px). Requires k odd, padding == k//2 and
+    spatial dims divisible by s. Bit-identical contractions per output.
+    """
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((kh + s - 1, kw + s - 1, ci, co * s * s), w.dtype)
+    for dy in range(s):
+        for dx in range(s):
+            i = (dy * s + dx) * co
+            wp = wp.at[dy:dy + kh, dx:dx + kw, :, i:i + co].set(w)
+    out = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (s, s),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=_DN,
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
+    n, hh, ww, _ = out.shape
+    out = out.reshape(n, hh, ww, s, s, co).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, hh * s, ww * s, co)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def nearest2x_conv_packed(x: Array, w: Array, b: Optional[Array] = None
+                          ) -> Array:
+    """conv3x3(nearest_upsample_2x(x)) with the repeat folded into ONE
+    phase-packed conv at INPUT resolution + depth-to-space.
+
+    Taps of the 3x3 kernel that land on the same source pixel of the
+    2x-repeated image are pre-summed per output phase:
+      phase 0 along an axis reads x[a-1]:w0, x[a]:w1+w2
+      phase 1 reads             x[a]:w0+w1, x[a+1]:w2
+    Removes the 4x nearest-repeat materialization and the lane padding of
+    low-co convs (co*4 packed channels). Exact up to f32 re-association
+    of the pre-summed taps.
+    """
+    kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3, 'nearest2x fold implemented for k=3'
+    # per-phase [(offset, [torch taps])] along one axis
+    plan = {0: [(-1, (0,)), (0, (1, 2))], 1: [(0, (0, 1)), (1, (2,))]}
+    wp = jnp.zeros((3, 3, ci, co * 4), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            ch0 = (dy * 2 + dx) * co
+            for oy, kys in plan[dy]:
+                for ox, kxs in plan[dx]:
+                    tap = sum(w[ky, kx] for ky in kys for kx in kxs)
+                    wp = wp.at[oy + 1, ox + 1, :, ch0:ch0 + co].set(tap)
+    out = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=_DN,
+        preferred_element_type=_conv_out_type(x)).astype(x.dtype)
+    n, hh, ww, _ = out.shape
+    out = out.reshape(n, hh, ww, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(n, hh * 2, ww * 2, co)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
 def _deconv_pack_ok(stride: int, padding: int, kernel_size: int,
                     output_padding: int) -> bool:
     return (os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1'

@@ -213,6 +213,53 @@ def test_dbnet_shapes_and_jit():
     assert float(jnp.min(mask)) >= 0.0
 
 
+def test_conv2d_phase_packed():
+    """Generic low-N stride-1 conv phase packing vs torch."""
+    torch.manual_seed(7)
+    m = torch.nn.Conv2d(6, 3, 3, padding=1)
+    x = torch.randn(2, 6, 32, 24)
+    with torch.no_grad():
+        ref = m(x).numpy()
+    params = convert_state_dict(m.state_dict())
+    for s in (2, 4, 8):
+        out = F.conv2d_phase_packed(t2j_in(x), params['weight'],
+                                    params['bias'], padding=1, s=s)
+        assert j2t_out(out).shape == ref.shape
+        np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
+
+
+def test_nearest2x_conv_packed():
+    """conv3x3(nearest2x(x)) fold vs torch interpolate + conv."""
+    torch.manual_seed(8)
+    m = torch.nn.Conv2d(6, 5, 3, padding=1)
+    x = torch.randn(2, 6, 9, 13)
+    with torch.no_grad():
+        ref = m(torch.nn.functional.interpolate(x, scale_factor=2,
+                                                mode='nearest')).numpy()
+    params = convert_state_dict(m.state_dict())
+    out = F.nearest2x_conv_packed(t2j_in(x), params['weight'],
+                                  params['bias'])
+    assert j2t_out(out).shape == ref.shape
+    np.testing.assert_allclose(j2t_out(out), ref, atol=2e-5)
+
+
+def test_esrgan_deconv_pack_matches_default(monkeypatch):
+    """MIT_TPU_DECONV_PACK=1 routes the ESRGAN tail (2 nearest2x-conv
+    folds + phase-packed final conv) — full forward must match."""
+    import jax
+    from manga_image_translator_tpu.models.esrgan import (esrgan_forward,
+                                                          init_params)
+    params = init_params(nb=2)
+    rs = np.random.RandomState(21)
+    x = jnp.asarray(rs.rand(1, 32, 24, 3).astype(np.float32))
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '0')
+    ref = jax.jit(lambda p, x: esrgan_forward(p, x, nb=2))(params, x)
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '1')
+    got = jax.jit(lambda p, x: esrgan_forward(p, x, nb=2))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dbnet_deconv_pack_matches_default(monkeypatch):
     """MIT_TPU_DECONV_PACK=1 routes every DBNet transposed conv (7 up
     blocks + both head stacks) through the phase-packed form; the full
