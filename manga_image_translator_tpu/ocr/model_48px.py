@@ -237,11 +237,30 @@ class Model48pxOCR(OfflineOCR):
         # padded all-zero batch rows decode to </S> immediately
         if not unfinished.any():
             return ret
-        self.logger.info(f'{int(unfinished.sum())} lines exceeded '
+        idx = np.where(unfinished)[0]
+        self.logger.info(f'{len(idx)} lines exceeded '
                          f'{fast} tokens — re-decoding at {MAX_SEQ_LEN}')
-        full = ocr48.sharded_beam_decode(self.params, images, valid_widths,
-                                         beams_k=BEAMS,
-                                         max_len=MAX_SEQ_LEN)
+        # Long-tier cost scales with the beam batch (n = crops * k), so
+        # re-decode ONLY the unfinished rows, compacted into the smaller
+        # MAX_CHUNK bucket when they fit (the (16, bucket) graph is the
+        # same one small pages compile anyway). Padding rows get width 0
+        # and terminate immediately, like the chunker's own padding.
+        if len(idx) <= MAX_CHUNK < images.shape[0]:
+            take = np.full((MAX_CHUNK,), int(idx[0]), np.int32)
+            take[:len(idx)] = idx
+            take_j = jnp.asarray(take)
+            sub_imgs = jnp.take(jnp.asarray(images), take_j, axis=0)
+            live = (np.arange(MAX_CHUNK) < len(idx)).astype(np.int32)
+            sub_w = jnp.take(valid_widths, take_j, axis=0) * jnp.asarray(live)
+            full = ocr48.sharded_beam_decode(self.params, sub_imgs, sub_w,
+                                             beams_k=BEAMS,
+                                             max_len=MAX_SEQ_LEN)
+            src_rows = np.arange(len(idx))
+        else:
+            full = ocr48.sharded_beam_decode(self.params, images,
+                                             valid_widths, beams_k=BEAMS,
+                                             max_len=MAX_SEQ_LEN)
+            src_rows = idx
         out = {}
         for key in ret:
             # np.asarray of a device array is a read-only view — copy
@@ -254,7 +273,7 @@ class Model48pxOCR(OfflineOCR):
                 pad[1] = (0, b.shape[1] - a.shape[1])
                 fill = ocr48.END_TOK if key == 'sequences' else 0
                 a = np.pad(a, pad, constant_values=fill)
-            a[unfinished] = b[unfinished]
+            a[idx] = b[src_rows]
             out[key] = a
         return out
 

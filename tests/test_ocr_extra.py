@@ -146,3 +146,53 @@ class TestTwoTierDecode:
         assert abs(float(ret['probs'][1]) - 0.9) < 1e-6
         assert float(np.asarray(ret['fg'])[0, 0, 0]) == 8
         assert float(np.asarray(ret['fg'])[1, 0, 0]) == 255
+
+    def test_long_tier_compacts_into_small_bucket(self, monkeypatch):
+        """A 32-crop chunk with ≤16 unfinished rows re-decodes ONLY those
+        rows, compacted into the MAX_CHUNK=16 bucket (pad rows width 0)."""
+        from manga_image_translator_tpu.ocr import model_48px as mod
+        from manga_image_translator_tpu.models import ocr48
+        calls = []
+
+        def fake_beam(params, images, widths, beams_k, max_len, **kw):
+            n = np.asarray(images).shape[0]
+            calls.append((max_len, n))
+            seqs = np.full((n, max_len), 7)
+            if max_len == 8:
+                seqs[:, 3] = ocr48.END_TOK
+                seqs[5, 3] = 7                    # rows 5, 9 never finish
+                seqs[9, 3] = 7
+            else:
+                # the sub-chunk: row payload = its source width so the
+                # merge can be checked; pad rows must have width 0
+                assert n == 16
+                w = np.asarray(widths)
+                assert list(w[:2]) != [0, 0] and (w[2:] == 0).all()
+                seqs[:, 30] = ocr48.END_TOK
+            import jax.numpy as jnp
+            return {'sequences': jnp.asarray(seqs),
+                    'probs': jnp.asarray(np.asarray(widths)[:n],
+                                         jnp.float32),
+                    'fg': jnp.zeros((n, max_len, 3)),
+                    'bg': jnp.zeros((n, max_len, 3)),
+                    'fg_ind': jnp.zeros((n, max_len, 2)),
+                    'bg_ind': jnp.zeros((n, max_len, 2))}
+
+        monkeypatch.setenv('MIT_TPU_MESH', '0')
+        monkeypatch.setattr(ocr48, 'beam_decode', fake_beam)
+        monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 255)
+        monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+        m = self._model()
+        widths = np.arange(1, 33, dtype=np.int32) * 8
+        ret = m._two_tier_decode(np.zeros((32, 48, 64, 3)), widths)
+        assert calls == [(8, 32), (255, 16)]
+        seqs = np.asarray(ret['sequences'])
+        assert seqs.shape == (32, 255)
+        # finished rows keep the fast result
+        assert seqs[0, 3] == ocr48.END_TOK
+        # unfinished rows 5 and 9 got the long decode, mapped back by row
+        assert seqs[5, 30] == ocr48.END_TOK and seqs[5, 3] == 7
+        assert seqs[9, 30] == ocr48.END_TOK
+        # probs echo the widths the long pass saw: source rows, in order
+        assert float(ret['probs'][5]) == widths[5]
+        assert float(ret['probs'][9]) == widths[9]
