@@ -147,6 +147,10 @@ class Model48pxOCR(OfflineOCR):
 
         ix = 0
         chunk_size = BIG_CHUNK if len(list(perm)) > MAX_CHUNK else MAX_CHUNK
+        # Phase 1: build every chunk and ENQUEUE its fast-tier decode —
+        # async dispatch lets chunk N+1's host crop work and dispatch
+        # overlap chunk N's device decode.
+        pending = []
         for indices in chunks(list(perm), chunk_size):
             widths = [widths_all[i] for i in indices]
             bw = bucket_width(max(widths))
@@ -180,7 +184,14 @@ class Model48pxOCR(OfflineOCR):
                     ix += 1
                 images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
 
-            ret = self._two_tier_decode(images, jnp.asarray(valid_widths))
+            vw = jnp.asarray(valid_widths)
+            pending.append((indices, images, vw,
+                            self._two_tier_dispatch(images, vw)))
+
+        # Phase 2: force results in order; long-tier re-decodes (rare)
+        # run here, after every chunk's fast pass is already in flight.
+        for indices, images, vw, fast_ret in pending:
+            ret = self._two_tier_finish(images, vw, fast_ret)
             sequences = np.asarray(ret['sequences'])
             probs = np.asarray(ret['probs'])
             fg = np.asarray(ret['fg'], np.float32)
@@ -227,9 +238,20 @@ class Model48pxOCR(OfflineOCR):
         outputs are identical to a single MAX_SEQ_LEN pass for every
         sequence that terminates within the short budget.
         """
+        return self._two_tier_finish(images, valid_widths,
+                                     self._two_tier_dispatch(images,
+                                                             valid_widths))
+
+    def _two_tier_dispatch(self, images, valid_widths):
+        """Enqueue the fast-tier decode WITHOUT host sync — JAX dispatch
+        is async, so _infer can enqueue every chunk's fast pass (and do
+        the next chunk's host-side crop warps) while the device works."""
         fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
-        ret = ocr48.sharded_beam_decode(self.params, images, valid_widths,
-                                        beams_k=BEAMS, max_len=fast)
+        return ocr48.sharded_beam_decode(self.params, images, valid_widths,
+                                         beams_k=BEAMS, max_len=fast)
+
+    def _two_tier_finish(self, images, valid_widths, ret):
+        fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
         if fast >= MAX_SEQ_LEN:
             return ret
         seqs = np.asarray(ret['sequences'])
