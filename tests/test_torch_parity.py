@@ -260,6 +260,24 @@ def test_esrgan_deconv_pack_matches_default(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_esrgan_deconv_pack_nondivisible_fallback(monkeypatch):
+    """Tail sizes not divisible by the packing stride fall back to the
+    plain conv — outputs must still match the default graph."""
+    import jax
+    from manga_image_translator_tpu.models.esrgan import (esrgan_forward,
+                                                          init_params)
+    params = init_params(nb=1)
+    rs = np.random.RandomState(22)
+    x = jnp.asarray(rs.rand(1, 29, 23, 3).astype(np.float32))  # 4x: 116x92
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '0')
+    ref = jax.jit(lambda p, x: esrgan_forward(p, x, nb=1))(params, x)
+    monkeypatch.setenv('MIT_TPU_DECONV_PACK', '1')
+    got = jax.jit(lambda p, x: esrgan_forward(p, x, nb=1))(params, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dbnet_deconv_pack_matches_default(monkeypatch):
     """MIT_TPU_DECONV_PACK=1 routes every DBNet transposed conv (7 up
     blocks + both head stacks) through the phase-packed form; the full
