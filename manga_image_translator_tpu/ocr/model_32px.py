@@ -104,9 +104,10 @@ class Model32pxOCR(OfflineOCR):
                 Hs = np.stack([plans[i][1] for i in indices]
                               + [warp._DEGENERATE_H]
                               * (MAX_CHUNK - len(indices)))
-                images = warp.crop_batch(img_dev, jnp.asarray(Hs),
-                                         jnp.asarray(valid_widths),
-                                         out_h=TEXT_HEIGHT, out_w=bw)
+                # auto-route: separable matmul resampler when every quad
+                # is axis-aligned (≲3 ms/chunk), gather path otherwise
+                images = warp.crop_batch_auto(img_dev, Hs, valid_widths,
+                                              out_h=TEXT_HEIGHT, out_w=bw)
             else:
                 batch = np.zeros((MAX_CHUNK, TEXT_HEIGHT, bw, 3), np.uint8)
                 for i, idx in enumerate(indices):

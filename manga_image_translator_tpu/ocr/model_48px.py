@@ -122,17 +122,31 @@ class Model48pxOCR(OfflineOCR):
         crops_env = __import__('os').environ.get('MIT_TPU_DEVICE_CROPS',
                                                  'auto')
         use_device_crops = is_quadrilaterals and crops_env != '0'
+        host_regions: dict = {}
         if use_device_crops:
             plans = [warp.crop_plan_quad(q, d, TEXT_HEIGHT)
                      for q, d in quadrilaterals]
             widths_all = [p[0] for p in plans]
             if crops_env == 'auto':
-                # conservative feasibility probe at each quad's own
-                # (pre-bucket) width; chunk buckets are only wider
-                use_device_crops = all(
-                    warp.separable_plan(H, TEXT_HEIGHT, w,
-                                        warp.SEP_SRC_H, 2 * w) is not None
-                    for w, H in plans)
+                # feasibility probe at each quad's own (pre-bucket) width;
+                # chunk buckets are only wider, so separable here implies
+                # separable at the bucket width
+                sep = [warp.separable_plan(H, TEXT_HEIGHT, w,
+                                           warp.SEP_SRC_H, 2 * w) is not None
+                       for w, H in plans]
+                n_host = sum(not s for s in sep)
+                if n_host * 2 > len(sep):
+                    # mostly rotated/perspective quads: host cv2 wins
+                    use_device_crops = False
+                else:
+                    # mixed per-quad routing: the few rotated quads are
+                    # cv2-warped on host and patched over their rows in
+                    # the device batch (warp.crop_chunk_mixed)
+                    for i, ok in enumerate(sep):
+                        if not ok:
+                            q, d = quadrilaterals[i]
+                            host_regions[i] = q.get_transformed_region(
+                                image, d, TEXT_HEIGHT)
         if use_device_crops:
             img_dev = jnp.asarray(np.ascontiguousarray(image))
         else:
@@ -158,14 +172,23 @@ class Model48pxOCR(OfflineOCR):
             valid_widths[:len(indices)] = [min(w, bw) for w in widths]
 
             if use_device_crops:
-                Hs = np.stack([plans[i][1] for i in indices]
-                              + [warp._DEGENERATE_H] *
-                              (chunk_size - len(indices)))
-                # axis-aligned quads (the common case) go through the
-                # separable matmul resampler — no gathers; rotated quads
-                # fall back to the gather path (ops/warp.crop_batch_auto)
-                images = warp.crop_batch_auto(img_dev, Hs, valid_widths,
-                                              out_h=TEXT_HEIGHT, out_w=bw)
+                if crops_env == 'auto':
+                    # axis-aligned quads (the common case) go through the
+                    # separable matmul resampler — no gathers; the rare
+                    # rotated quads were host-warped above and are patched
+                    # over their rows
+                    images = warp.crop_chunk_mixed(
+                        img_dev, plans, list(indices), host_regions,
+                        valid_widths, TEXT_HEIGHT, bw, chunk_size)
+                else:
+                    # forced device (MIT_TPU_DEVICE_CROPS=1): gather path
+                    # handles arbitrary quads with zero host work
+                    Hs = np.stack([plans[i][1] for i in indices]
+                                  + [warp._DEGENERATE_H] *
+                                  (chunk_size - len(indices)))
+                    images = warp.crop_batch_auto(
+                        img_dev, Hs, valid_widths,
+                        out_h=TEXT_HEIGHT, out_w=bw)
                 if verbose:
                     crops_host = np.asarray(
                         (images + 1.0) * 127.5).astype(np.uint8)

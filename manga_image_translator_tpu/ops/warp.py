@@ -266,6 +266,94 @@ def crop_batch_separable(img: jax.Array, origins: jax.Array,
     return crops / 127.5 - 1.0
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('out_h', 'out_w', 'src_h', 'src_w'))
+def crop_batch_separable_patched(img: jax.Array, origins: jax.Array,
+                                 ycoef: jax.Array, xcoef: jax.Array,
+                                 valid_w: jax.Array, patch_rows: jax.Array,
+                                 patch_vals: jax.Array, out_h: int,
+                                 out_w: int, src_h: int, src_w: int
+                                 ) -> jax.Array:
+    """Separable crop batch with a few HOST-warped rows patched in.
+
+    Mixed per-quad routing: in a chunk where most quads are axis-aligned
+    (separable matmul path, ≲3 ms on device) but a few are rotated, the
+    rotated ones are cv2-warped on host (cheap at that count) and written
+    over their rows here instead of dragging the whole chunk back to host
+    (or through the ~21 ms/chunk device gather path).
+
+    Args:
+      patch_rows: (M,) int32 row indices to overwrite (duplicates allowed —
+        callers pad to a bucket size by repeating the last row).
+      patch_vals: (M, out_h, out_w, 3) float32 crops already normalized
+        like crop_batch output (/127.5-1, padding -1).
+    """
+    crops = crop_batch_separable(img, origins, ycoef, xcoef, valid_w,
+                                 out_h=out_h, out_w=out_w, src_h=src_h,
+                                 src_w=src_w)
+    return crops.at[patch_rows].set(patch_vals)
+
+
+_ZERO_PLAN = ((0, 0), (0.0, 0.0), (0.0, 0.0))
+
+
+def crop_chunk_mixed(img: jax.Array, plans, indices, host_regions: dict,
+                     valid_w: np.ndarray, out_h: int, out_w: int,
+                     chunk_size: int) -> jax.Array:
+    """One (chunk_size, out_h, out_w, 3) normalized crop batch with
+    per-quad routing: axis-aligned quads through the separable matmul
+    resampler, the (rare) rotated/perspective quads cv2-warped on host by
+    the caller (``host_regions[idx]`` uint8 crops) and patched over their
+    rows. Falls back to the whole-chunk gather path only if a quad that
+    probed separable at its own width fails at the bucket width (cannot
+    happen for out_w ≥ own width; kept as a guard).
+    """
+    src_w = 2 * out_w
+    sep_plans = []
+    patch_rows: list = []
+    patch_vals: list = []
+    for row, i in enumerate(indices):
+        if i in host_regions:
+            reg = host_regions[i]
+            buf = np.zeros((out_h, out_w, 3), np.float32)
+            w = min(reg.shape[1], out_w)
+            buf[:, :w] = reg[:, :w]
+            patch_rows.append(row)
+            patch_vals.append(buf / 127.5 - 1.0)
+            sep_plans.append(_ZERO_PLAN)
+        else:
+            p = separable_plan(plans[i][1], out_h, out_w, SEP_SRC_H, src_w)
+            if p is None:
+                Hs = np.stack([plans[j][1] for j in indices]
+                              + [_DEGENERATE_H] * (chunk_size - len(indices)))
+                return crop_batch(img, jnp.asarray(Hs), jnp.asarray(valid_w),
+                                  out_h=out_h, out_w=out_w)
+            sep_plans.append(p)
+    sep_plans += [_ZERO_PLAN] * (chunk_size - len(indices))
+    origins = jnp.asarray([p[0] for p in sep_plans], jnp.int32)
+    ycoef = jnp.asarray([p[1] for p in sep_plans], jnp.float32)
+    xcoef = jnp.asarray([p[2] for p in sep_plans], jnp.float32)
+    vw = jnp.asarray(valid_w)
+    if not patch_rows:
+        return crop_batch_separable(img, origins, ycoef, xcoef, vw,
+                                    out_h=out_h, out_w=out_w,
+                                    src_h=SEP_SRC_H, src_w=src_w)
+    # pad the patch list to a power-of-two bucket (duplicate writes of the
+    # same row/value are idempotent) so patch counts don't proliferate
+    # compiled shapes
+    m = 1
+    while m < len(patch_rows):
+        m *= 2
+    while len(patch_rows) < m:
+        patch_rows.append(patch_rows[-1])
+        patch_vals.append(patch_vals[-1])
+    return crop_batch_separable_patched(
+        img, origins, ycoef, xcoef, vw,
+        jnp.asarray(patch_rows, jnp.int32),
+        jnp.asarray(np.stack(patch_vals), jnp.float32),
+        out_h=out_h, out_w=out_w, src_h=SEP_SRC_H, src_w=src_w)
+
+
 def crop_batch_auto(img: jax.Array, Hs: np.ndarray, valid_w: np.ndarray,
                     out_h: int, out_w: int) -> jax.Array:
     """Route a crop chunk to the separable matmul path when EVERY quad is

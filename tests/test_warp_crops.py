@@ -198,3 +198,85 @@ class TestSeparableResampler:
                                        [400, 200], [0, 200]]), '', 0.9)
         w, H = self._plan(quad)
         assert warp.separable_plan(H, TH, w, warp.SEP_SRC_H, 2 * w) is None
+
+
+class TestMixedChunkRouting:
+    """crop_chunk_mixed: separable quads on device, rotated quads host-
+    warped and patched over their rows — the 'auto' default for chunks
+    that mix both."""
+
+    def _quads(self):
+        axis1 = Quadrilateral(np.array([[50, 100], [350, 100],
+                                        [350, 160], [50, 160]]), '', 0.9)
+        c, s = np.cos(0.25), np.sin(0.25)
+        R = np.array([[c, -s], [s, c]])
+        base = np.array([[-120, -25], [120, -25], [120, 25], [-120, 25]])
+        rot = Quadrilateral((base @ R.T + np.array([300, 250])), '', 0.9)
+        axis2 = Quadrilateral(np.array([[10, 20], [210, 20],
+                                        [210, 60], [10, 60]]), '', 0.9)
+        return [axis1, rot, axis2]
+
+    def test_mixed_chunk_matches_componentwise(self):
+        img = _page(500, 600)
+        quads = self._quads()
+        plans = [warp.crop_plan_quad(q, 'h', TH) for q in quads]
+        ws = [p[0] for p in plans]
+        assert warp.separable_plan(plans[1][1], TH, ws[1],
+                                   warp.SEP_SRC_H, 2 * ws[1]) is None
+        host_regions = {1: quads[1].get_transformed_region(img, 'h', TH)}
+        chunk_size = 4
+        bw = max(ws)
+        valid = np.zeros((chunk_size,), np.int32)
+        valid[:3] = [min(w, bw) for w in ws]
+        got = np.asarray(warp.crop_chunk_mixed(
+            jnp.asarray(img), plans, [0, 1, 2], host_regions, valid,
+            TH, bw, chunk_size))
+        assert got.shape == (chunk_size, TH, bw, 3)
+        # separable rows match the pure-separable path
+        sep_ref = np.asarray(warp.crop_batch_auto(
+            jnp.asarray(img), np.stack([plans[0][1], plans[2][1]]),
+            valid[[0, 2]], out_h=TH, out_w=bw))
+        np.testing.assert_allclose(got[0], sep_ref[0], atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(got[2], sep_ref[1], atol=2e-5, rtol=1e-5)
+        # the patched row reproduces the host crop exactly
+        reg = host_regions[1]
+        buf = np.zeros((TH, bw, 3), np.float32)
+        buf[:, :min(reg.shape[1], bw)] = reg[:, :bw]
+        np.testing.assert_allclose(got[1], buf / 127.5 - 1.0,
+                                   atol=1e-6, rtol=0)
+        # padding row is all -1
+        assert np.allclose(got[3], -1.0)
+
+    def test_all_separable_chunk_has_no_patches(self):
+        img = _page(500, 600)
+        quads = [self._quads()[0], self._quads()[2]]
+        plans = [warp.crop_plan_quad(q, 'h', TH) for q in quads]
+        ws = [p[0] for p in plans]
+        bw = max(ws)
+        valid = np.asarray([min(w, bw) for w in ws], np.int32)
+        got = np.asarray(warp.crop_chunk_mixed(
+            jnp.asarray(img), plans, [0, 1], {}, valid, TH, bw, 2))
+        ref = np.asarray(warp.crop_batch_auto(
+            jnp.asarray(img), np.stack([p[1] for p in plans]), valid,
+            out_h=TH, out_w=bw))
+        np.testing.assert_allclose(got, ref, atol=0, rtol=0)
+
+    def test_model48_auto_mixed_end_to_end(self, monkeypatch):
+        """The 'auto' wrapper path runs end-to-end on a chunk mixing
+        axis-aligned and rotated quads."""
+        import asyncio
+        import logging
+        from manga_image_translator_tpu.config import OcrConfig
+        from manga_image_translator_tpu.models import ocr48
+        from manga_image_translator_tpu.ocr import model_48px as mod
+
+        m = mod.Model48pxOCR.__new__(mod.Model48pxOCR)
+        m.params = ocr48.fuse_qkv_params(ocr48.init_params(dict_size=64))
+        m.dictionary = mod._placeholder_dictionary()[:64]
+        m.logger = logging.getLogger('test')
+        img = _page(500, 600, seed=3)
+        monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 8)
+        monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+        monkeypatch.setenv('MIT_TPU_DEVICE_CROPS', 'auto')
+        out = asyncio.run(m._infer(img, self._quads(), OcrConfig(), False))
+        assert all(isinstance(r.text, str) for r in out)
