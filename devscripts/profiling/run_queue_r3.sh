@@ -17,6 +17,13 @@ run() {
   tail -n 12 "$OUT/$name.log"
 }
 
+# 0. TPU-optimized HLO dumps (compile-only, cheap): fusion boundaries,
+#    standalone copies/transposes, padded shapes — the visibility the
+#    "pw convs 6x off roofline" / "glue 20 ms" questions need.
+run hlo_lama hlo_dump.py lama_block
+run hlo_ocr hlo_dump.py ocr_backbone
+run hlo_dbnet hlo_dump.py dbnet
+
 # 1. Settle the banded-reflect regression question (eager-trace A/B).
 run reflect_ab reflect_fast_ab.py
 
@@ -34,5 +41,17 @@ run s2d lama_s2d_ab2.py
 
 # 6. Downsample conv variants.
 run downvars down_conv_variants.py
+
+# 6b. Bound the lazy-perm decode win (permute/write-back cost probe).
+run perm_bound ocr_perm_bound.py
+
+# 7. Fresh decomposition with whatever defaults won above.
+run decomp2 lama_decomp2.py
+
+# 8. Fresh end-to-end bench number.
+echo "=== bench.py ($(date +%H:%M:%S))"
+( cd /root/repo && timeout 3000 python bench.py > "$OUT/bench.log" 2>&1 )
+echo "--- exit $? ; tail:"
+tail -n 4 "$OUT/bench.log"
 
 echo "ALL DONE $(date)"

@@ -40,6 +40,7 @@ from reference ocr/model_48px.py infer_beam_batch_tensor):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -58,6 +59,13 @@ CH = 8            # cache chunk rows streamed per DMA
 
 NEG = -1e9        # additive mask value (finite: -inf breeds NaNs in the
                   # online-softmax rescale)
+
+# Measurement-only hooks (devscripts/profiling/ocr_perm_bound.py): 'skip'
+# removes the beam permute AND its write-back from the fused-gather path,
+# 'nowb' keeps the permute matmuls but drops the write-back. Both produce
+# WRONG sequences — they exist to bound what a lazy composed-permutation
+# decode scheme could win before building one. Never set in production.
+_PERM_DEBUG = os.environ.get('MIT_TPU_OCR_PERM_DEBUG', '')
 
 
 def pad_e(x, axis: int = -1, value: float = 0.0):
@@ -208,7 +216,8 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
             n_needed = (step + CH) // CH          # dynamic trip count
         else:
             n_needed = n_chunks
-        do_permute = causal and fused_gather
+        do_permute = causal and fused_gather and _PERM_DEBUG != 'skip'
+        do_writeback = do_permute and _PERM_DEBUG != 'nowb'
 
         def body(c, carry):
             m_run, l_run, acc = carry
@@ -237,7 +246,7 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
                 def _():
                     kbuf[slot, step - lo] = kr
                     vbuf[slot, step - lo] = vr
-            if do_permute:
+            if do_writeback:
                 pltpu.make_async_copy(
                     kbuf.at[slot], selfk_out.at[l, pl.ds(lo, CH)],
                     wbk_sem.at[slot]).start()
@@ -262,7 +271,7 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
             scale = _mm(alpha.astype(jnp.bfloat16), segv)   # (n, EP)
             acc = acc * scale + jnp.sum(
                 w_e * vbuf[slot].astype(jnp.float32), axis=0)
-            if do_permute:
+            if do_writeback:
                 # drain the write-back before this slot can be prefetched
                 # into two iterations from now (it overlapped the score
                 # math above)
