@@ -128,12 +128,41 @@ def _irfft2_matmul(re: jax.Array, im: jax.Array, h: int, w: int):
     return _dft_einsum('nhkc,kw->nhwc', joined, inv_w)
 
 
+# Pad the rfft frequency axis K = W//2+1 to a multiple of 8 with zero
+# cos/sin COLUMNS (forward) and zero ROWS (inverse). K=97 at the 1536-page
+# trunk is sublane-misaligned, and the optimized HLO shows XLA inserting a
+# standalone ~30 MB pad (K 97->100 / 2K 194->200) plus the matching slice
+# around EVERY FourierUnit H-stage — pure HBM round trips, 18 blocks deep.
+# Carrying analytically-zero frequency lanes instead is exact: forward
+# zero columns produce exact-0 lanes, the FU's bias/BN/ReLU turns them into
+# finite garbage, and the inverse's zero rows multiply that garbage by 0.
+_PAD_K = os.environ.get('MIT_TPU_LAMA_PADK', '1') == '1'
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats_split(h: int, w: int):
+    """_dft_mats with the K axis zero-padded to a sublane multiple (split
+    re/im path only — the joint/Pallas paths keep the exact-K operands)."""
+    cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats(h, w)
+    k = w // 2 + 1
+    kp = -(-k // 8) * 8
+    if not _PAD_K or kp == k:
+        return cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm
+    pad_cols = ((0, 0), (0, kp - k))
+    cos_w = np.pad(cos_w, pad_cols)
+    sin_w = np.pad(sin_w, pad_cols)
+    pad_rows = ((0, kp - k), (0, 0))
+    inv_cos_w = np.pad(inv_cos_w, pad_rows)
+    inv_sin_w = np.pad(inv_sin_w, pad_rows)
+    return cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm
+
+
 def _rfft2_split(x: jax.Array):
     """ortho rfft2 over axes (1, 2) of (N, H, W, C) fp32 with SEPARATE
     re/im planes — same matmul FLOPs as the joint block form, but zero
     concats/stacks (each of which costs a full-tensor HBM round trip)."""
     n, h, w, c = x.shape
-    cos_w, sin_w, cos_h, sin_h, _, _, norm = _dft_mats(h, w)
+    cos_w, sin_w, cos_h, sin_h, _, _, norm = _dft_mats_split(h, w)
     f_re = _dft_einsum('nhwc,wk->nhkc', x, cos_w)
     f_im = _dft_einsum('nhwc,wk->nhkc', x, -sin_w)
     # H-stage (complex mult by e^{-i·}, ortho norm folded into the mats)
@@ -148,7 +177,7 @@ def _rfft2_split(x: jax.Array):
 
 def _irfft2_split(re: jax.Array, im: jax.Array, h: int, w: int):
     """ortho irfft2 inverse of _rfft2_split (separate planes, no concats)."""
-    cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats(h, w)
+    cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats_split(h, w)
     ch = cos_h.T * norm
     sh = sin_h.T * norm
     g_re = (_dft_einsum('njkc,jh->nhkc', re, ch)
