@@ -6,19 +6,35 @@ the unit of data parallelism: same-config pages letterbox onto one canvas,
 run as ONE device forward, and shard over every visible chip via the
 serving mesh (parallel/mesh.get_mesh) when one exists (SURVEY §2.15
 "Inter-page batching" TPU equivalent).
+
+Masked-crop mode (default, ``MIT_TPU_INPAINT_CROPS=0`` reverts): instead of
+running the generator over the whole page, inpaint only context-padded
+bucket-snapped crops around the mask's connected components (crop_plan.py)
+and composite each crop's own mask pixels back. The final composite discards
+everything outside the mask anyway (reference
+``inpainting_lama_mpe.py:117``), and the LaMa checkpoint is 512px-native, so
+crops are both cheaper and closer to the training distribution. Crops from
+all pages of a batch share the device batches.
 """
 from __future__ import annotations
 
+import os
 from abc import abstractmethod
-from typing import List
+from typing import List, Optional
 
 import cv2
 import numpy as np
 
 from ..config import InpainterConfig
 from ..utils.inference import InfererModule, ModelWrapper
+from .crop_plan import (full_page_path_pixels, pad_batch_size, plan_crops,
+                        DEFAULT_BUCKETS)
 
 PAD_SIZE = 8
+
+
+def crops_enabled() -> bool:
+    return os.environ.get('MIT_TPU_INPAINT_CROPS', '1') != '0'
 
 
 class CommonInpainter(InfererModule):
@@ -40,8 +56,15 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
     def __init__(self):
         ModelWrapper.__init__(self)
 
-    async def _inpaint(self, *args, **kwargs):
-        return await self.infer(*args, **kwargs)
+    async def _inpaint(self, image, mask, config, inpainting_size=1024,
+                       verbose=False):
+        if self.supports_batch and crops_enabled():
+            outs = self._inpaint_crops_multi([image], [mask], config,
+                                             inpainting_size)
+            if outs[0] is not None:
+                return outs[0]
+        return await self.infer(image, mask, config, inpainting_size,
+                                verbose)
 
     # -- batched page path -------------------------------------------------
 
@@ -56,11 +79,105 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         return (type(self)._batch_forward
                 is not OfflineInpainter._batch_forward)
 
+    # -- masked-crop path ---------------------------------------------------
+
+    def _inpaint_crops_multi(self, images: List[np.ndarray],
+                             masks: List[np.ndarray],
+                             config: InpainterConfig,
+                             inpainting_size: int = 1024
+                             ) -> List[Optional[np.ndarray]]:
+        """Inpaint N pages via mask-driven crops (crop_plan.plan_crops).
+
+        Crops from every page are pooled, grouped by bucket shape, padded to
+        a static batch size, and run through ``_batch_forward`` — one device
+        call per distinct bucket. Entries come back None for pages whose
+        plan fell back (mask covers most of the page): the caller routes
+        those through the full-page path. Pixels outside the mask are
+        byte-identical to the input by construction."""
+        buckets = tuple(b for b in DEFAULT_BUCKETS
+                        if b <= max(DEFAULT_BUCKETS[0], inpainting_size))
+        plans = []
+        for img, mask in zip(images, masks):
+            h, w = img.shape[:2]
+            plans.append(plan_crops(
+                mask, buckets=buckets,
+                full_page_pixels=full_page_path_pixels(h, w,
+                                                       inpainting_size)))
+
+        outs: List[Optional[np.ndarray]] = [None] * len(images)
+        jobs = {}
+        for i, plan in enumerate(plans):
+            if plan is None:
+                continue
+            crops, mask_bin = plan
+            outs[i] = np.copy(images[i])
+            for c in crops:
+                jobs.setdefault((c.bh, c.bw), []).append((i, c, mask_bin))
+
+        if jobs:
+            total = sum(len(v) for v in jobs.values())
+            self.logger.info(
+                f'Crop inpainting: {total} crops over {len(jobs)} bucket'
+                f'{"s" if len(jobs) != 1 else ""} '
+                f'({", ".join(f"{len(v)}x{bh}x{bw}" for (bh, bw), v in sorted(jobs.items()))})')
+
+        for (bh, bw), items in sorted(jobs.items()):
+            n_pad = pad_batch_size(len(items))
+            batch_img = np.zeros((n_pad, bh, bw, 3), np.uint8)
+            batch_msk = np.zeros((n_pad, bh, bw), np.uint8)
+            for k, (i, c, _wg) in enumerate(items):
+                src_img = images[i][c.y0:c.y0 + c.h, c.x0:c.x0 + c.w]
+                src_msk = masks[i][c.y0:c.y0 + c.h, c.x0:c.x0 + c.w]
+                if c.scaled:
+                    src_img = cv2.resize(src_img, (bw, bh),
+                                         interpolation=cv2.INTER_LINEAR)
+                    src_msk = cv2.resize(src_msk, (bw, bh),
+                                         interpolation=cv2.INTER_LINEAR)
+                batch_img[k] = src_img
+                batch_msk[k] = src_msk
+            res = self._batch_forward(batch_img, batch_msk, config)
+            for k, (i, c, mask_bin) in enumerate(items):
+                out = res[k]
+                if c.scaled:
+                    out = cv2.resize(out, (c.w, c.h),
+                                     interpolation=cv2.INTER_LINEAR)
+                # write back only this crop's own (disjoint) group box,
+                # restricted to mask pixels
+                region = outs[i][c.gy0:c.gy1, c.gx0:c.gx1]
+                osub = out[c.gy0 - c.y0:c.gy1 - c.y0,
+                           c.gx0 - c.x0:c.gx1 - c.x0]
+                wsel = mask_bin[c.gy0:c.gy1, c.gx0:c.gx1]
+                region[wsel] = osub[wsel]
+        return outs
+
     async def infer_batch(self, images: List[np.ndarray],
                           masks: List[np.ndarray], config: InpainterConfig,
                           inpainting_size: int = 1024,
                           verbose: bool = False) -> List[np.ndarray]:
-        """Inpaint N same-config pages in one batched device forward.
+        """Inpaint N same-config pages in batched device forwards.
+
+        Masked-crop mode first (crops pooled across pages); pages whose
+        crop plan fell back run through the letterboxed full-page batch."""
+        if crops_enabled():
+            outs = self._inpaint_crops_multi(images, masks, config,
+                                             inpainting_size)
+            rest = [i for i, o in enumerate(outs) if o is None]
+            if rest:
+                full = await self._infer_batch_letterbox(
+                    [images[i] for i in rest], [masks[i] for i in rest],
+                    config, inpainting_size, verbose)
+                for i, o in zip(rest, full):
+                    outs[i] = o
+            return outs
+        return await self._infer_batch_letterbox(images, masks, config,
+                                                 inpainting_size, verbose)
+
+    async def _infer_batch_letterbox(
+            self, images: List[np.ndarray], masks: List[np.ndarray],
+            config: InpainterConfig, inpainting_size: int = 1024,
+            verbose: bool = False) -> List[np.ndarray]:
+        """Full-page batch path: inpaint N same-config pages in one batched
+        device forward.
 
         Per-page preprocessing mirrors ``_infer`` (aspect-resize to
         inpainting_size, stretch to a multiple of 8), then every page

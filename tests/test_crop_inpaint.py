@@ -1,0 +1,229 @@
+"""Masked-crop inpainting: planner geometry + executor compositing.
+
+The redesign (inpainting/crop_plan.py): the final composite discards every
+pixel outside the mask (reference inpainting_lama_mpe.py:117), so the
+generator only needs to see context-padded crops around the mask CCs.
+These tests pin the planner invariants and prove the executor writes back
+exactly the mask pixels — everything outside stays byte-identical.
+"""
+import asyncio
+
+import numpy as np
+import pytest
+
+from manga_image_translator_tpu.config import InpainterConfig
+from manga_image_translator_tpu.inpainting.common import OfflineInpainter
+from manga_image_translator_tpu.inpainting.crop_plan import (
+    Crop, DEFAULT_BUCKETS, full_page_path_pixels, pad_batch_size, plan_crops)
+
+pytestmark = pytest.mark.quick
+
+
+def _mask(h=1536, w=1536):
+    return np.zeros((h, w), np.uint8)
+
+
+class TestPlanCrops:
+    def test_empty_mask(self):
+        crops, wg = plan_crops(_mask())
+        assert crops == []
+        assert wg.shape == (1536, 1536) and not wg.any()
+
+    def test_single_cc_snaps_to_bucket(self):
+        m = _mask()
+        m[700:740, 600:880] = 255  # 280x40 textline
+        crops, mask_bin = plan_crops(m)
+        assert len(crops) == 1
+        c = crops[0]
+        assert (c.bh, c.bw) in {(bh, bw) for bh in DEFAULT_BUCKETS
+                                for bw in DEFAULT_BUCKETS}
+        assert not c.scaled
+        # crop covers the padded CC box
+        assert c.x0 <= 600 - 48 and c.x0 + c.w >= 880 + 48
+        assert c.y0 <= 700 - 48 and c.y0 + c.h >= 740 + 48
+        # group box owns the whole CC and sits inside the crop rect
+        assert c.gx0 <= 600 and c.gx1 >= 880
+        assert c.gy0 <= 700 and c.gy1 >= 740
+        assert c.x0 <= c.gx0 and c.x0 + c.w >= c.gx1
+        assert c.y0 <= c.gy0 and c.y0 + c.h >= c.gy1
+        assert mask_bin.sum() == 280 * 40
+
+    @staticmethod
+    def _owner(crops, y, x):
+        owners = [i for i, c in enumerate(crops)
+                  if c.gx0 <= x < c.gx1 and c.gy0 <= y < c.gy1]
+        assert len(owners) == 1  # group boxes are pairwise disjoint
+        return owners[0]
+
+    def test_nearby_ccs_merge_far_ccs_split(self):
+        m = _mask()
+        m[100:140, 100:380] = 255    # line A
+        m[160:200, 100:380] = 255    # line B, 20px below A -> same balloon
+        m[1200:1240, 1100:1380] = 255  # far-away line C
+        crops, _ = plan_crops(m)
+        assert len(crops) == 2
+        a = self._owner(crops, 120, 200)
+        b = self._owner(crops, 180, 200)
+        c = self._owner(crops, 1220, 1200)
+        assert a == b and a != c
+
+    def test_oversize_group_scales_down(self):
+        m = _mask()
+        m[100:200, 50:1450] = 255  # wider than the largest bucket
+        crops, _ = plan_crops(m)
+        assert len(crops) == 1
+        c = crops[0]
+        assert c.scaled and c.bw == max(DEFAULT_BUCKETS)
+        assert c.w > c.bw  # source wider than device shape
+
+    def test_full_mask_falls_back(self):
+        m = np.full((1536, 1536), 255, np.uint8)
+        fp = full_page_path_pixels(1536, 1536, 1024)
+        assert plan_crops(m, full_page_pixels=fp) is None
+
+    def test_narrow_image_clamps_bucket(self):
+        # 400px-wide webtoon strip: the x bucket clamps to the image width
+        m = _mask(1536, 400)
+        m[100:140, 50:350] = 255
+        plan = plan_crops(m)
+        assert plan is not None
+        crops, _ = plan
+        c = crops[0]
+        assert c.bw <= 400 and c.bw % 8 == 0
+        assert c.x0 >= 0 and c.x0 + c.w <= 400
+
+    def test_tiny_image_falls_back(self):
+        # every bucket clamps to the full page -> full-page path is cheaper
+        m = _mask(200, 200)
+        m[80:120, 40:160] = 255
+        assert plan_crops(m) is None
+
+    def test_coverage_accounts_for_inpainting_size_resize(self):
+        # a mask that would plan ~full-page crops must fall back when the
+        # full-page path (resized to inpainting_size) is cheaper
+        m = _mask()
+        step = 160
+        for y in range(40, 1500, step):
+            for x in range(40, 1500, step):
+                m[y:y + 80, x:x + 80] = 255
+        fp = full_page_path_pixels(1536, 1536, 1024)
+        assert fp == 1024 * 1024
+        assert plan_crops(m, full_page_pixels=fp) is None
+
+    def test_pad_batch_size(self):
+        assert pad_batch_size(1) == 1
+        assert pad_batch_size(3) == 4
+        assert pad_batch_size(9) == 16
+        assert pad_batch_size(33) == 64
+
+
+class _FakeInpainter(OfflineInpainter):
+    """Batchable inpainter stub: fills masked pixels with 7, leaves the rest
+    (so crop compositing bugs show up as wrong bytes)."""
+    _MODEL_MAPPING = {}
+
+    def __init__(self):
+        super().__init__()
+        self.batch_shapes = []
+
+    async def _load(self, device):
+        pass
+
+    async def _unload(self):
+        pass
+
+    async def _infer(self, image, mask, config, inpainting_size=1024,
+                     verbose=False):
+        out = np.copy(image)
+        out[mask >= 127] = 9  # distinct from the crop path's 7
+        return out
+
+    def _batch_forward(self, imgs, masks, config):
+        self.batch_shapes.append(imgs.shape)
+        out = np.copy(imgs)
+        out[masks >= 127] = 7
+        return out
+
+
+class TestCropExecutor:
+    def _page(self, seed=0, h=1536, w=1536):
+        rs = np.random.RandomState(seed)
+        return rs.randint(0, 255, (h, w, 3), np.uint8)
+
+    def test_outside_mask_is_byte_identical(self):
+        img = self._page()
+        m = _mask()
+        m[700:740, 600:880] = 255
+        m[1200:1240, 100:380] = 255
+        inp = _FakeInpainter()
+        out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
+        sel = m >= 127
+        assert (out[sel] == 7).all()                    # crop path ran
+        np.testing.assert_array_equal(out[~sel], img[~sel])
+        # batches padded to a static size
+        for shape in inp.batch_shapes:
+            assert shape[0] in (1, 2, 4, 8, 16, 32)
+            assert shape[1] in DEFAULT_BUCKETS and shape[2] in DEFAULT_BUCKETS
+
+    def test_full_mask_uses_fallback_path(self):
+        img = self._page()
+        m = np.full((1536, 1536), 255, np.uint8)
+        inp = _FakeInpainter()
+        out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
+        assert (out == 9).all()          # _infer (full-page) path
+        assert inp.batch_shapes == []
+
+    def test_disabled_flag_reverts(self, monkeypatch):
+        monkeypatch.setenv('MIT_TPU_INPAINT_CROPS', '0')
+        img = self._page()
+        m = _mask()
+        m[700:740, 600:880] = 255
+        inp = _FakeInpainter()
+        out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
+        assert (out[m >= 127] == 9).all()
+
+    def test_batch_pools_crops_across_pages(self):
+        pages = [self._page(i) for i in range(3)]
+        masks = []
+        for i in range(3):
+            m = _mask()
+            m[700:740, 600:880] = 255
+            masks.append(m)
+        inp = _FakeInpainter()
+        outs = asyncio.run(inp.infer_batch(pages, masks, InpainterConfig(),
+                                           1024))
+        # one bucket, one device call for all 3 pages' crops (padded to 4)
+        assert len(inp.batch_shapes) == 1
+        assert inp.batch_shapes[0][0] == 4
+        for img, m, out in zip(pages, masks, outs):
+            sel = m >= 127
+            assert (out[sel] == 7).all()
+            np.testing.assert_array_equal(out[~sel], img[~sel])
+
+    def test_batch_mixed_fallback(self):
+        pages = [self._page(0), self._page(1)]
+        m0 = _mask()
+        m0[700:740, 600:880] = 255
+        m1 = np.full((1536, 1536), 255, np.uint8)
+        inp = _FakeInpainter()
+        outs = asyncio.run(inp.infer_batch(pages, [m0, m1],
+                                           InpainterConfig(), 1024))
+        assert (outs[0][m0 >= 127] == 7).all()
+        assert (outs[1] == 7).all()      # letterbox batch also _batch_forward
+        # letterbox path resizes the full page to inpainting_size
+        assert any(s[1] > max(DEFAULT_BUCKETS) or s[1] == 1024
+                   for s in inp.batch_shapes)
+
+    def test_oversize_group_roundtrip(self):
+        img = self._page()
+        m = _mask()
+        m[100:200, 50:1450] = 255  # forces scaled crop
+        inp = _FakeInpainter()
+        out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 2048))
+        sel = m >= 127
+        # resize roundtrip blends the crop's mask boundary: assert the
+        # eroded interior is filled and the outside is untouched
+        import cv2
+        interior = cv2.erode(m, np.ones((9, 9), np.uint8)) >= 127
+        assert (out[interior] == 7).all()
+        np.testing.assert_array_equal(out[~sel], img[~sel])

@@ -206,3 +206,72 @@ class TestHyphenProvisioning:
         h = hy._load_dict('xx')
         assert h is not None
         assert h.syllables('ababa')  # pattern engine engaged
+
+
+class TestBalloonFit:
+    """Balloon-shape-constrained ENG layout (reference
+    text_render_eng.py:158-334 layout_lines_aligncenter behavior)."""
+
+    @staticmethod
+    def _ellipse_page(h=400, w=500, cx=250, cy=200, ax=180, ay=120):
+        # dark page with a white elliptical balloon
+        img = np.full((h, w, 3), 40, np.uint8)
+        yy, xx = np.mgrid[:h, :w]
+        inside = ((xx - cx) / ax) ** 2 + ((yy - cy) / ay) ** 2 <= 1.0
+        img[inside] = 255
+        return img, inside
+
+    def test_layout_respects_balloon_shape(self):
+        from manga_image_translator_tpu.rendering.text_render_eng import (
+            layout_lines_in_balloon)
+        img, inside = self._ellipse_page()
+        region = (inside.astype(np.uint8)) * 255
+        font = text_render.get_cached_font(20)
+        words = 'this text must stay inside the round speech balloon'.split()
+        widths = [font.getlength(w) for w in words]
+        lines = layout_lines_in_balloon(region, words, widths,
+                                        font.getlength(' '), 24)
+        assert lines is not None and len(lines) >= 3
+        # every line's span endpoints lie inside the ellipse
+        for l in lines:
+            for x in (l.x, int(l.x + l.width)):
+                assert inside[l.y:l.y + 24, x].all()
+        # reading order is preserved top-to-bottom
+        joined = ' '.join(l.text for l in sorted(lines, key=lambda l: l.y))
+        assert joined == ' '.join(words)
+        # lines near the top/bottom are narrower than the central line
+        mid = max(lines, key=lambda l: l.width)
+        assert lines[0].width < mid.width
+
+    def test_layout_returns_none_when_too_small(self):
+        from manga_image_translator_tpu.rendering.text_render_eng import (
+            layout_lines_in_balloon)
+        region = np.zeros((60, 60), np.uint8)
+        region[20:40, 20:40] = 255
+        font = text_render.get_cached_font(20)
+        words = ['unfittably', 'enormous', 'paragraph', 'of', 'many',
+                 'words'] * 4
+        widths = [font.getlength(w) for w in words]
+        assert layout_lines_in_balloon(region, words, widths,
+                                       font.getlength(' '), 24) is None
+
+    def test_eng_render_stays_inside_balloon(self):
+        img, inside = self._ellipse_page()
+        region = make_region(
+            [[[170, 160], [330, 160], [330, 240], [170, 240]]],
+            ['hello'], 'Words fitted to the balloon shape stay inside',
+            target_lang='ENG', font_size=18)
+        out = asyncio.run(dispatch_eng_render(img.copy(), img, [region]))
+        changed = (out != img).any(axis=2)
+        assert changed.any()
+        # nothing rendered outside the balloon interior
+        assert not (changed & ~inside).any()
+
+    def test_no_dead_code(self):
+        import inspect
+        from manga_image_translator_tpu.rendering import text_render_eng
+        src = inspect.getsource(text_render_eng)
+        assert 'if False' not in src
+        # extract_ballon_region is actually wired into the renderer
+        body = inspect.getsource(text_render_eng.render_textblock_list_eng)
+        assert 'extract_ballon_region' in body
