@@ -129,14 +129,53 @@ def _match(ours, refs, tol=20):
 ])
 def test_panels_match_reference_kumiko(layout):
     img = _page_with_panels(layout)
-    try:
-        refs = _reference_panels(img)
-    except Exception as e:  # pragma: no cover - reference env missing
-        pytest.skip(f'reference Kumiko unavailable: {e}')
+    # no skip: a broken reference import must FAIL this parity suite
+    refs = _reference_panels(img)
     ours = get_panels_from_array(img)
     # same number of panels detected…
     assert len(ours) == len(refs), (ours, refs)
     # …covering the same rectangles
+    _match(ours, refs)
+
+
+def _bridged_pages():
+    """Pages whose panel borders are CONNECTED across a gutter, so the
+    initial external contour spans several panels — exactly the case
+    Kumiko's recursive split (`lib/panel.py` `split()`) exists for."""
+    # horizontal bridge between two side-by-side panels
+    img_h = _page_with_panels([(40, 40, 240, 330), (320, 40, 240, 330)])
+    cv2.rectangle(img_h, (275, 180), (325, 195), (0, 0, 0), -1)
+    # vertical bridge between stacked panels in a 2x2 grid
+    img_v = _page_with_panels([(40, 40, 240, 330), (320, 40, 240, 330),
+                               (40, 420, 240, 330), (320, 420, 240, 330)])
+    cv2.rectangle(img_v, (150, 365), (165, 425), (0, 0, 0), -1)
+    # double bridge: both columns connected -> two recursive splits
+    img_2 = _page_with_panels([(40, 40, 240, 330), (320, 40, 240, 330),
+                               (40, 420, 240, 330), (320, 420, 240, 330)])
+    cv2.rectangle(img_2, (150, 365), (165, 425), (0, 0, 0), -1)
+    cv2.rectangle(img_2, (430, 365), (445, 425), (0, 0, 0), -1)
+    return [('hbridge', img_h), ('vbridge', img_v), ('bridge2', img_2)]
+
+
+@pytest.mark.parametrize('name,img', _bridged_pages(),
+                         ids=[n for n, _ in _bridged_pages()])
+def test_bridged_panels_split_like_kumiko(name, img):
+    """Merged contours are split on gutters (VERDICT r3 Missing #2)."""
+    refs = _reference_panels(img)
+    ours = get_panels_from_array(img)
+    assert len(ours) == len(refs), (ours, refs)
+    _match(ours, refs)
+
+
+def test_nested_panel_merged_like_kumiko():
+    """An inset panel >50%-contained in a bigger one merges into it
+    (reference merge_panels, `lib/page.py:298-313`)."""
+    img = _page_with_panels([(40, 40, 520, 710)])
+    cv2.rectangle(img, (80, 80), (280, 280), (0, 0, 0), 3)
+    img[83:278, 83:278] = 210
+    refs = _reference_panels(img)
+    ours = get_panels_from_array(img)
+    assert len(ours) == len(refs), (ours, refs)
     _match(ours, refs)
 
 
