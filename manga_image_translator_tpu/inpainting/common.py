@@ -109,10 +109,11 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         for i, plan in enumerate(plans):
             if plan is None:
                 continue
-            crops, mask_bin = plan
+            crops, mask_bin, owner = plan
             outs[i] = np.copy(images[i])
             for c in crops:
-                jobs.setdefault((c.bh, c.bw), []).append((i, c, mask_bin))
+                jobs.setdefault((c.bh, c.bw), []).append(
+                    (i, c, mask_bin, owner))
 
         if jobs:
             total = sum(len(v) for v in jobs.values())
@@ -125,7 +126,7 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
             n_pad = pad_batch_size(len(items))
             batch_img = np.zeros((n_pad, bh, bw, 3), np.uint8)
             batch_msk = np.zeros((n_pad, bh, bw), np.uint8)
-            for k, (i, c, _wg) in enumerate(items):
+            for k, (i, c, _wg, _ow) in enumerate(items):
                 src_img = images[i][c.y0:c.y0 + c.h, c.x0:c.x0 + c.w]
                 src_msk = masks[i][c.y0:c.y0 + c.h, c.x0:c.x0 + c.w]
                 if c.scaled:
@@ -136,17 +137,23 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
                 batch_img[k] = src_img
                 batch_msk[k] = src_msk
             res = self._batch_forward(batch_img, batch_msk, config)
-            for k, (i, c, mask_bin) in enumerate(items):
+            for k, (i, c, mask_bin, owner) in enumerate(items):
                 out = res[k]
                 if c.scaled:
                     out = cv2.resize(out, (c.w, c.h),
                                      interpolation=cv2.INTER_LINEAR)
-                # write back only this crop's own (disjoint) group box,
-                # restricted to mask pixels
+                # write back only this crop's OWNED mask pixels: mask
+                # pixels inside its cell rect whose CC label is in its
+                # label set (labels partition the mask, cells partition a
+                # group — disjoint across crops by construction)
                 region = outs[i][c.gy0:c.gy1, c.gx0:c.gx1]
                 osub = out[c.gy0 - c.y0:c.gy1 - c.y0,
                            c.gx0 - c.x0:c.gx1 - c.x0]
                 wsel = mask_bin[c.gy0:c.gy1, c.gx0:c.gx1]
+                if owner is not None and c.labels:
+                    wsel = wsel & np.isin(
+                        owner[c.gy0:c.gy1, c.gx0:c.gx1],
+                        np.asarray(c.labels, np.int32))
                 region[wsel] = osub[wsel]
         return outs
 

@@ -15,40 +15,56 @@ into one device forward; the executor (``common.OfflineInpainter``)
 composites each crop's own mask pixels back, so output is byte-identical to
 the full-page path outside the mask by construction.
 
-Planning runs on the host but must stay cheap against a ~ms device stage on
-a 1-core box: connected components are computed on an ``analysis_scale``-
-downscaled mask (INTER_AREA + ``>0`` threshold, so every full-res mask pixel
-survives into some downscaled CC — boxes only ever grow), and write-back
-ownership uses the merged groups' padded boxes — pairwise disjoint by
-construction of the merge fixpoint — instead of a full-res label map.
+Design (v2, measured against devscripts/profiling/crop_inpaint_bench.py):
+
+* CC analysis runs on an ``analysis_scale``-downscaled mask (INTER_AREA +
+  ``>0``, so every full-res mask pixel lands in some downscaled CC — boxes
+  only ever grow). Planning must stay ~ms on a 1-core host.
+* Ownership is by CC LABEL SET, not by disjoint geometry: each crop owns
+  the mask pixels whose (upsampled) CC label is in its set, intersected
+  with its tile cell. Labels partition the mask, cells partition a group —
+  write-back is disjoint even though crop WINDOWS may overlap.
+* Merging is pixel-saving only: two boxes merge when the union bbox fits
+  the bucket caps AND is no larger than the two boxes separately. This
+  stops the transitive page-wide merges dense pages otherwise produce.
+* Groups larger than the caps tile into full-resolution cells; windows
+  shrink to the mask extent inside each cell. No downscaling: the
+  batch-1 (1024, 1024) shape measures ~97 ns/px on v5e vs ~22-28 ns/px
+  for batched small crops and 44 ns/px for the full 1536 page.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
 
-# Static bucket set: multiples of 8 (generator stride), spanning one balloon
-# (256) to the checkpoint-native scale and beyond (1024). Each distinct
-# (bh, bw, batch) triple is one XLA compile.
-DEFAULT_BUCKETS: Tuple[int, ...] = (256, 320, 384, 512, 640, 768, 1024)
+# Static bucket set: multiples of 8 (generator stride), from one textline
+# (128) to one-column scale (1024). Each distinct (bh, bw, batch) triple is
+# one XLA compile.
+DEFAULT_BUCKETS: Tuple[int, ...] = (128, 192, 256, 320, 384, 512, 640, 768,
+                                    1024)
 
 # Batch sizes crops are padded up to (bounds compile count per bucket).
 BATCH_SIZES: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+
+# Group box caps: per-side, and area (the square-1024 bucket is
+# pathologically slow at batch 1 on v5e — see module docstring).
+CAP_SIDE = 1024
+CAP_AREA = 768 * 1024
 
 
 @dataclass
 class Crop:
     """One planned inpaint crop.
 
-    ``(x0, y0, w, h)`` is the source rect in page coordinates; ``(bh, bw)``
-    the device shape it is resized to (equal to ``(h, w)`` in the common
-    unscaled case). ``(gx0, gy0, gx1, gy1)`` is the merged-CC group box this
-    crop owns for write-back: group boxes are pairwise disjoint and every
-    mask pixel lies in exactly one, so compositing only group-box mask
-    pixels is complete and conflict-free.
+    ``(x0, y0, w, h)`` is the source window in page coordinates; ``(bh,
+    bw)`` the device shape it is resized to (equal to ``(h, w)`` in the
+    common unscaled case). The crop OWNS the mask pixels inside its cell
+    rect ``(gx0, gy0, gx1, gy1)`` whose CC label is in ``labels`` — labels
+    partition the mask and cells partition a group, so write-back is
+    complete and conflict-free even when windows overlap.
     """
     x0: int
     y0: int
@@ -60,6 +76,7 @@ class Crop:
     gy0: int
     gx1: int
     gy1: int
+    labels: Tuple[int, ...] = field(default_factory=tuple)
 
     @property
     def scaled(self) -> bool:
@@ -100,29 +117,79 @@ def pad_batch_size(n: int) -> int:
     return -(-n // BATCH_SIZES[-1]) * BATCH_SIZES[-1]
 
 
+def _merge_pixel_saving(boxes: np.ndarray, cap_side: int, cap_area: int
+                        ) -> List[Tuple[int, int, int, int, List[int]]]:
+    """Greedy fixpoint merge of (x0, y0, x1, y1) boxes. Two groups merge
+    only when the union bbox fits the caps AND does not exceed the groups'
+    combined area — merging must SAVE device pixels, never create
+    page-wide super-groups. Returns (x0, y0, x1, y1, labels) groups."""
+    groups = [(int(b[0]), int(b[1]), int(b[2]), int(b[3]), [i + 1])
+              for i, b in enumerate(boxes)]
+    merged = True
+    while merged:
+        merged = False
+        out: List[Tuple[int, int, int, int, List[int]]] = []
+        for g in groups:
+            hit = -1
+            for j, og in enumerate(out):
+                ux0 = min(g[0], og[0])
+                uy0 = min(g[1], og[1])
+                ux1 = max(g[2], og[2])
+                uy1 = max(g[3], og[3])
+                if ux1 - ux0 > cap_side or uy1 - uy0 > cap_side:
+                    continue
+                if (ux1 - ux0) * (uy1 - uy0) > cap_area:
+                    continue
+                a_g = (g[2] - g[0]) * (g[3] - g[1])
+                a_o = (og[2] - og[0]) * (og[3] - og[1])
+                if (ux1 - ux0) * (uy1 - uy0) <= a_g + a_o:
+                    hit = j
+                    break
+            if hit >= 0:
+                og = out[hit]
+                out[hit] = (min(g[0], og[0]), min(g[1], og[1]),
+                            max(g[2], og[2]), max(g[3], og[3]),
+                            og[4] + g[4])
+                merged = True
+            else:
+                out.append(g)
+        groups = out
+    return groups
+
+
 def plan_crops(mask: np.ndarray,
                buckets: Sequence[int] = DEFAULT_BUCKETS,
-               pad_frac: float = 0.3,
-               min_pad: int = 48,
-               max_coverage: float = 0.85,
+               pad_frac: float = 0.2,
+               min_pad: int = 32,
+               max_pad: int = 64,
+               tile_ctx: int = 64,
+               max_coverage: float = 1.6,
                full_page_pixels: Optional[int] = None,
                analysis_scale: int = 8,
-               ) -> Optional[Tuple[List[Crop], np.ndarray]]:
+               ) -> Optional[Tuple[List[Crop], np.ndarray,
+                                   Optional[np.ndarray]]]:
     """Plan inpaint crops for one page mask.
 
     mask: (H, W) uint8, >=127 marks pixels to inpaint (the pipeline's
     refined mask at page resolution).
 
-    Returns ``(crops, mask_bin)`` where ``mask_bin`` is the boolean (H, W)
-    inpaint mask the executor composites with (restricted per crop to its
-    group box). Returns ``([], mask_bin)`` for an empty mask and ``None``
-    when the planned device pixels exceed ``max_coverage`` of the
-    full-page path's pixels (full-page fallback is then cheaper).
+    Returns ``(crops, mask_bin, owner)`` where ``mask_bin`` is the boolean
+    (H, W) inpaint mask and ``owner`` the (H, W) int32 CC-label map the
+    executor composites with (None when there is a single crop — no
+    ownership test needed). Returns ``([], mask_bin, None)`` for an empty
+    mask and ``None`` when the planned device pixels exceed
+    ``max_coverage`` of the full-page path's pixels (full-page fallback is
+    then cheaper).
+
+    ``max_coverage`` defaults above 1 because batched crop forwards cost
+    ~22-36 ns/px on v5e vs ~44 ns/px for the batch-1 full page (measured:
+    devscripts/profiling/crop_inpaint_bench.py) — crops win on wall time
+    until planned pixels reach ~1.6x the full-page pixels.
     """
     h_img, w_img = mask.shape[:2]
     mask_bin = mask >= 127
     if not mask_bin.any():
-        return [], mask_bin
+        return [], mask_bin, None
 
     # CC analysis on a downscaled mask: INTER_AREA gives every source pixel
     # positive weight in some dest pixel, so `>0` keeps all mask pixels
@@ -134,10 +201,10 @@ def plan_crops(mask: np.ndarray,
                            interpolation=cv2.INTER_AREA) > 0
     else:
         small = mask_bin
-    n_cc, _labels, stats, _ = cv2.connectedComponentsWithStats(
+    n_cc, labels_small, stats, _ = cv2.connectedComponentsWithStats(
         small.astype(np.uint8), connectivity=8)
     if n_cc <= 1:
-        return [], mask_bin
+        return [], mask_bin, None
 
     fx, fy = w_img / ws, h_img / hs
     boxes = np.empty((n_cc - 1, 4), np.int64)
@@ -150,55 +217,100 @@ def plan_crops(mask: np.ndarray,
         y0 = int(np.floor(y * fy))
         x1 = int(np.ceil((x + w) * fx))
         y1 = int(np.ceil((y + h) * fy))
-        pad = max(min_pad, int(round(pad_frac * max(x1 - x0, y1 - y0))))
-        boxes[i - 1] = (x0 - pad, y0 - pad, x1 + pad, y1 + pad)
+        pad = min(max_pad,
+                  max(min_pad, int(round(pad_frac * max(x1 - x0, y1 - y0)))))
+        boxes[i - 1] = (max(0, x0 - pad), max(0, y0 - pad),
+                        min(w_img, x1 + pad), min(h_img, y1 + pad))
 
-    # merge intersecting padded boxes until stable (merged boxes grow, which
-    # can create new intersections — hence the fixpoint loop). Terminal
-    # state: group boxes pairwise disjoint.
-    gboxes = [tuple(b) for b in boxes]
-    merged = True
-    while merged:
-        merged = False
-        out_boxes: List[Tuple[int, int, int, int]] = []
-        for b in gboxes:
-            hit = -1
-            for j, ob in enumerate(out_boxes):
-                if (b[0] < ob[2] and ob[0] < b[2]
-                        and b[1] < ob[3] and ob[1] < b[3]):
-                    hit = j
-                    break
-            if hit >= 0:
-                ob = out_boxes[hit]
-                out_boxes[hit] = (min(b[0], ob[0]), min(b[1], ob[1]),
-                                  max(b[2], ob[2]), max(b[3], ob[3]))
-                merged = True
-            else:
-                out_boxes.append(b)
-        gboxes = out_boxes
+    groups = _merge_pixel_saving(boxes, CAP_SIDE, CAP_AREA)
 
     crops: List[Crop] = []
-    for (x0, y0, x1, y1) in gboxes:
-        x0 = max(0, x0)
-        y0 = max(0, y0)
-        x1 = min(w_img, x1)
-        y1 = min(h_img, y1)
-        bw = _pick_bucket(buckets, x1 - x0, w_img)
-        bh = _pick_bucket(buckets, y1 - y0, h_img)
-        sx, w_src = _place(x0, x1, bw, w_img)
-        sy, h_src = _place(y0, y1, bh, h_img)
-        crops.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src),
-                          h=int(h_src), bw=int(bw), bh=int(bh),
-                          gx0=int(x0), gy0=int(y0), gx1=int(x1),
-                          gy1=int(y1)))
+    for (x0, y0, x1, y1, labs) in groups:
+        gw, gh = x1 - x0, y1 - y0
+        cell_cap_x = CAP_SIDE - 2 * tile_ctx
+        cell_cap_y = CAP_SIDE - 2 * tile_ctx
+        nx = 1 if gw <= CAP_SIDE else -(-gw // cell_cap_x)
+        ny = 1 if gh <= CAP_SIDE else -(-gh // cell_cap_y)
+        # area cap on the BUCKETED shape (bucket snap can inflate a ~900^2
+        # group into the pathological square-1024 bucket): tile the longer
+        # dim so tiles land in <=768-wide buckets
+        if nx == 1 and ny == 1:
+            bw_g = _pick_bucket(buckets, gw, w_img)
+            bh_g = _pick_bucket(buckets, gh, h_img)
+            if bw_g * bh_g > CAP_AREA:
+                if gw >= gh:
+                    nx = -(-gw // (768 - 2 * tile_ctx))
+                else:
+                    ny = -(-gh // (768 - 2 * tile_ctx))
+        cell_w = -(-gw // nx)
+        cell_h = -(-gh // ny)
+        tiled = nx > 1 or ny > 1
+        for iy in range(ny):
+            for ix in range(nx):
+                cx0 = x0 + ix * cell_w
+                cy0 = y0 + iy * cell_h
+                cx1 = min(x1, cx0 + cell_w)
+                cy1 = min(y1, cy0 + cell_h)
+                if cx0 >= cx1 or cy0 >= cy1:
+                    continue
+                if tiled:
+                    # shrink the tile's crop window to the mask extent
+                    # inside its cell (cells of a big group are mostly
+                    # empty); ownership stays the full cell. Conservative
+                    # outward rounding: each ``small`` pixel covers an
+                    # (fy, fx) block of the full-res mask.
+                    sx0, sx1 = int(cx0 / fx), int(-(-cx1 // fx))
+                    sy0, sy1 = int(cy0 / fy), int(-(-cy1 // fy))
+                    sub = small[sy0:sy1, sx0:sx1]
+                    ys_any = np.flatnonzero(sub.any(axis=1))
+                    if ys_any.size == 0:
+                        continue
+                    xs_any = np.flatnonzero(sub.any(axis=0))
+                    mx0 = int(np.floor((sx0 + xs_any[0]) * fx))
+                    mx1 = int(np.ceil((sx0 + xs_any[-1] + 1) * fx))
+                    my0 = int(np.floor((sy0 + ys_any[0]) * fy))
+                    my1 = int(np.ceil((sy0 + ys_any[-1] + 1) * fy))
+                    px0 = max(0, max(cx0 - tile_ctx, mx0 - max_pad))
+                    px1 = min(w_img, min(cx1 + tile_ctx, mx1 + max_pad))
+                    py0 = max(0, max(cy0 - tile_ctx, my0 - max_pad))
+                    py1 = min(h_img, min(cy1 + tile_ctx, my1 + max_pad))
+                    # window must still cover the cell's own mask pixels
+                    px0 = min(px0, max(0, mx0))
+                    px1 = max(px1, min(w_img, mx1))
+                    py0 = min(py0, max(0, my0))
+                    py1 = max(py1, min(h_img, my1))
+                else:
+                    px0, py0, px1, py1 = cx0, cy0, cx1, cy1
+                bw = _pick_bucket(buckets, px1 - px0, w_img)
+                bh = _pick_bucket(buckets, py1 - py0, h_img)
+                sx, w_src = _place(px0, px1, bw, w_img)
+                sy, h_src = _place(py0, py1, bh, h_img)
+                crops.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src),
+                                  h=int(h_src), bw=int(bw), bh=int(bh),
+                                  gx0=int(cx0), gy0=int(cy0), gx1=int(cx1),
+                                  gy1=int(cy1),
+                                  labels=tuple(int(v) for v in labs)))
 
     device_px = sum(c.bw * c.bh for c in crops)
     if full_page_pixels is None:
         full_page_pixels = h_img * w_img
     if device_px > max_coverage * full_page_pixels:
         return None
+    # the >1x allowance is justified by batch amortization only — without
+    # enough crops to batch, more-pixels-than-full-page is a plain loss
+    if device_px >= full_page_pixels and len(crops) < 4:
+        return None
 
-    return crops, mask_bin
+    owner: Optional[np.ndarray] = None
+    if len(crops) > 1:
+        # upsample the CC label map to full res. Exact inverse of the box
+        # scaling (cell j covers full-res [j*fx, (j+1)*fx), INTER_AREA's
+        # aggregation window): every full-res mask pixel maps into a
+        # positive ``small`` cell, whose label is its owner.
+        rows = (np.arange(h_img, dtype=np.int64) * hs) // h_img
+        cols = (np.arange(w_img, dtype=np.int64) * ws) // w_img
+        owner = labels_small.astype(np.int32)[np.ix_(rows, cols)]
+    return crops, mask_bin, owner
 
 
 def full_page_path_pixels(h: int, w: int, inpainting_size: int) -> int:

@@ -136,17 +136,24 @@ def _irfft2_matmul(re: jax.Array, im: jax.Array, h: int, w: int):
 # Carrying analytically-zero frequency lanes instead is exact: forward
 # zero columns produce exact-0 lanes, the FU's bias/BN/ReLU turns them into
 # finite garbage, and the inverse's zero rows multiply that garbage by 0.
-_PAD_K = os.environ.get('MIT_TPU_LAMA_PADK', '1') == '1'
+def _pad_k_enabled() -> bool:
+    return os.environ.get('MIT_TPU_LAMA_PADK', '1') == '1'
 
 
-@functools.lru_cache(maxsize=8)
 def _dft_mats_split(h: int, w: int):
     """_dft_mats with the K axis zero-padded to a sublane multiple (split
-    re/im path only — the joint/Pallas paths keep the exact-K operands)."""
+    re/im path only — the joint/Pallas paths keep the exact-K operands).
+    The env flag participates in the cache key so toggling it after import
+    (e.g. per-test monkeypatching) takes effect."""
+    return _dft_mats_split_impl(h, w, _pad_k_enabled())
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_mats_split_impl(h: int, w: int, pad_k: bool):
     cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm = _dft_mats(h, w)
     k = w // 2 + 1
     kp = -(-k // 8) * 8
-    if not _PAD_K or kp == k:
+    if not pad_k or kp == k:
         return cos_w, sin_w, cos_h, sin_h, inv_cos_w, inv_sin_w, norm
     pad_cols = ((0, 0), (0, kp - k))
     cos_w = np.pad(cos_w, pad_cols)

@@ -23,58 +23,103 @@ def _mask(h=1536, w=1536):
     return np.zeros((h, w), np.uint8)
 
 
+def _ownership_map(crops, mask_bin, owner):
+    """Count, per mask pixel, how many crops own it (must be exactly 1)."""
+    own = np.zeros(mask_bin.shape, np.int32)
+    for c in crops:
+        sel = np.zeros(mask_bin.shape, bool)
+        sel[c.gy0:c.gy1, c.gx0:c.gx1] = True
+        sel &= mask_bin
+        if owner is not None and c.labels:
+            sel &= np.isin(owner, np.asarray(c.labels, np.int32))
+        own += sel
+        # the crop window must cover everything it owns
+        ys, xs = np.nonzero(sel)
+        if ys.size:
+            assert c.x0 <= xs.min() and c.x0 + c.w > xs.max()
+            assert c.y0 <= ys.min() and c.y0 + c.h > ys.max()
+    return own
+
+
 class TestPlanCrops:
     def test_empty_mask(self):
-        crops, wg = plan_crops(_mask())
+        crops, wg, owner = plan_crops(_mask())
         assert crops == []
         assert wg.shape == (1536, 1536) and not wg.any()
+        assert owner is None
 
     def test_single_cc_snaps_to_bucket(self):
         m = _mask()
         m[700:740, 600:880] = 255  # 280x40 textline
-        crops, mask_bin = plan_crops(m)
+        crops, mask_bin, _ = plan_crops(m)
         assert len(crops) == 1
         c = crops[0]
         assert (c.bh, c.bw) in {(bh, bw) for bh in DEFAULT_BUCKETS
                                 for bw in DEFAULT_BUCKETS}
         assert not c.scaled
-        # crop covers the padded CC box
-        assert c.x0 <= 600 - 48 and c.x0 + c.w >= 880 + 48
-        assert c.y0 <= 700 - 48 and c.y0 + c.h >= 740 + 48
-        # group box owns the whole CC and sits inside the crop rect
+        # crop covers the padded CC box (min_pad=32 of context)
+        assert c.x0 <= 600 - 32 and c.x0 + c.w >= 880 + 32
+        assert c.y0 <= 700 - 32 and c.y0 + c.h >= 740 + 32
+        # cell rect owns the whole CC and sits inside the crop rect
         assert c.gx0 <= 600 and c.gx1 >= 880
         assert c.gy0 <= 700 and c.gy1 >= 740
         assert c.x0 <= c.gx0 and c.x0 + c.w >= c.gx1
         assert c.y0 <= c.gy0 and c.y0 + c.h >= c.gy1
         assert mask_bin.sum() == 280 * 40
 
-    @staticmethod
-    def _owner(crops, y, x):
-        owners = [i for i, c in enumerate(crops)
-                  if c.gx0 <= x < c.gx1 and c.gy0 <= y < c.gy1]
-        assert len(owners) == 1  # group boxes are pairwise disjoint
-        return owners[0]
-
     def test_nearby_ccs_merge_far_ccs_split(self):
         m = _mask()
         m[100:140, 100:380] = 255    # line A
         m[160:200, 100:380] = 255    # line B, 20px below A -> same balloon
         m[1200:1240, 1100:1380] = 255  # far-away line C
-        crops, _ = plan_crops(m)
+        crops, mask_bin, owner = plan_crops(m)
         assert len(crops) == 2
-        a = self._owner(crops, 120, 200)
-        b = self._owner(crops, 180, 200)
-        c = self._owner(crops, 1220, 1200)
-        assert a == b and a != c
+        own = _ownership_map(crops, mask_bin, owner)
+        assert (own[mask_bin] == 1).all()
+        # A and B share a crop; C has its own
+        ab = [i for i, c in enumerate(crops)
+              if c.x0 <= 100 and c.y0 <= 100]
+        assert len(ab) == 1 and len(crops[ab[0]].labels) == 2
 
-    def test_oversize_group_scales_down(self):
+    def test_oversize_group_tiles_full_res(self):
         m = _mask()
         m[100:200, 50:1450] = 255  # wider than the largest bucket
-        crops, _ = plan_crops(m)
-        assert len(crops) == 1
-        c = crops[0]
-        assert c.scaled and c.bw == max(DEFAULT_BUCKETS)
-        assert c.w > c.bw  # source wider than device shape
+        crops, mb, owner = plan_crops(m)
+        # tiled into several FULL-RESOLUTION crops (no downscaling)
+        assert len(crops) >= 2
+        assert not any(c.scaled for c in crops)
+        own = _ownership_map(crops, mb, owner)
+        assert (own[mb] == 1).all()
+        assert own.max() <= 1
+
+    def test_big_square_group_avoids_1024_square_bucket(self):
+        # 900x900 balloon cluster: the (1024, 1024) bucket is pathologically
+        # slow at batch 1 on v5e — the planner must tile the longer dim
+        m = _mask()
+        for y in range(320, 1180, 120):
+            m[y:y + 60, 320:1180] = 255
+        plan = plan_crops(m)
+        assert plan is not None
+        crops, mb, owner = plan
+        assert all((c.bh, c.bw) != (1024, 1024) for c in crops)
+        own = _ownership_map(crops, mb, owner)
+        assert own.max() <= 1 and (own[mb] == 1).all()
+
+    def test_scattered_lines_stay_separate_crops(self):
+        # pixel-saving merge: far-apart lines must NOT transitively merge
+        # into a page-wide group
+        m = _mask()
+        spots = [(100, 100), (100, 1100), (1300, 100), (1300, 1100),
+                 (700, 600)]
+        for (y, x) in spots:
+            m[y:y + 40, x:x + 280] = 255
+        crops, mb, owner = plan_crops(m)
+        assert len(crops) == len(spots)
+        own = _ownership_map(crops, mb, owner)
+        assert (own[mb] == 1).all()
+        # each crop stays line-sized (bucket <= 512x192), not page-sized
+        for c in crops:
+            assert c.bw <= 512 and c.bh <= 192
 
     def test_full_mask_falls_back(self):
         m = np.full((1536, 1536), 255, np.uint8)
@@ -87,15 +132,25 @@ class TestPlanCrops:
         m[100:140, 50:350] = 255
         plan = plan_crops(m)
         assert plan is not None
-        crops, _ = plan
+        crops, _, _ = plan
         c = crops[0]
         assert c.bw <= 400 and c.bw % 8 == 0
         assert c.x0 >= 0 and c.x0 + c.w <= 400
 
-    def test_tiny_image_falls_back(self):
-        # every bucket clamps to the full page -> full-page path is cheaper
+    def test_tiny_image_small_mask_plans_small_crop(self):
+        # small buckets (128/192) make a sub-page crop worthwhile even on a
+        # tiny page
         m = _mask(200, 200)
         m[80:120, 40:160] = 255
+        plan = plan_crops(m)
+        assert plan is not None
+        crops, _, _ = plan
+        assert len(crops) == 1 and crops[0].bw * crops[0].bh < 200 * 200
+
+    def test_tiny_image_large_mask_falls_back(self):
+        # the clamped crop covers the whole page -> full-page path wins
+        m = _mask(200, 200)
+        m[10:190, 10:190] = 255
         assert plan_crops(m) is None
 
     def test_coverage_accounts_for_inpainting_size_resize(self):
