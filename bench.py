@@ -201,7 +201,31 @@ def bench_ocr():
     return _timed_onchip(run, crops, widths)
 
 
+def _bench_mask(n_lines=25, seed=3):
+    """The bench's representative text mask: ~25 textlines at 1536px (same
+    geometry as the detection postprocess workload)."""
+    mask = np.zeros((PAGE, PAGE), np.uint8)
+    rs = np.random.RandomState(seed)
+    for _ in range(n_lines):
+        x, y = rs.randint(0, PAGE - 300), rs.randint(0, PAGE - 60)
+        mask[y:y + 40, x:x + 280] = 255
+    return mask
+
+
 def bench_inpainting():
+    """Returns (t_crop_dev, t_plan_host, t_crop_batched, t_full).
+
+    t_crop_dev: device time of the PRODUCTION masked-crop path (sum of the
+      bucket forwards the planner emits for the representative mask).
+    t_plan_host: host planning cost (overlappable with device compute in
+      the batch pipeline, like the DB postprocess).
+    t_crop_batched: per-page device time when 8 pages' crops pool into the
+      same buckets (the translate_batch path).
+    t_full: the full-page 1536^2 forward — the pre-r4 design, kept for
+      round-over-round comparability.
+    """
+    from manga_image_translator_tpu.inpainting.crop_plan import (
+        full_page_path_pixels, pad_batch_size, plan_crops)
     from manga_image_translator_tpu.models import lama
 
     params = lama.fold_bn(lama.init_params(n_blocks=18, dtype=jnp.bfloat16),
@@ -218,25 +242,64 @@ def bench_inpainting():
         comp = out.astype(jnp.float32) * mask + img * (1 - mask)
         return comp.sum()
 
-    return _timed_onchip(run, img, mask)
+    t_full = _timed_onchip(run, img, mask)
+
+    # production masked-crop path (inpainting/crop_plan.py): plan on the
+    # representative mask, time each bucket's batched forward
+    mask_np = _bench_mask()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        plan = plan_crops(mask_np, full_page_pixels=full_page_path_pixels(
+            PAGE, PAGE, PAGE))
+    t_plan = (time.perf_counter() - t0) / 5
+    assert plan is not None, 'bench mask unexpectedly fell back'
+    crops = plan[0]
+
+    buckets = {}
+    for c in crops:
+        buckets[(c.bh, c.bw)] = buckets.get((c.bh, c.bw), 0) + 1
+
+    def bucket_time(bh, bw, n):
+        bimg = jnp.asarray(rs.rand(n, bh, bw, 3).astype(np.float32))
+        bmask = jnp.asarray((rs.rand(n, bh, bw, 1) < 0.15
+                             ).astype(np.float32))
+        return _timed_onchip(run, bimg, bmask)
+
+    t_crop = sum(bucket_time(bh, bw, pad_batch_size(n))
+                 for (bh, bw), n in buckets.items())
+    # batched lane: 8 pages' crops pooled per bucket
+    t_crop_batched = sum(
+        bucket_time(bh, bw, pad_batch_size(8 * n))
+        for (bh, bw), n in buckets.items()) / 8
+    print(f'# inpaint crop plan: {len(crops)} crops '
+          f'{ {f"{bh}x{bw}": n for (bh, bw), n in sorted(buckets.items())} }',
+          file=sys.stderr)
+    return t_crop, t_plan, t_crop_batched, t_full
 
 
 def main():
     t_det, t_post, t_post_pipe = bench_detection()
     t_ocr = bench_ocr()
-    t_inp = bench_inpainting()
-    per_page = t_det + t_post_pipe + t_ocr + t_inp
+    t_inp, t_plan, t_inp_batched, t_inp_full = bench_inpainting()
+    per_page = t_det + t_post_pipe + t_ocr + t_inp + t_plan
     pages_per_sec = 1.0 / per_page
+    per_page_batched = t_det + t_post_pipe + t_ocr + t_inp_batched + t_plan
     print(f'# detection(dev): {t_det*1000:.1f} ms | det post(host): '
           f'{t_post*1000:.1f} ms (pipelined: {t_post_pipe*1000:.1f}) | '
-          f'ocr: {t_ocr*1000:.1f} ms | inpaint: '
-          f'{t_inp*1000:.1f} ms | total {per_page*1000:.1f} ms/page',
+          f'ocr: {t_ocr*1000:.1f} ms | inpaint(crops): '
+          f'{t_inp*1000:.1f} ms + plan {t_plan*1000:.1f} ms '
+          f'(batched: {t_inp_batched*1000:.1f}, full-page: '
+          f'{t_inp_full*1000:.1f}) | total {per_page*1000:.1f} ms/page '
+          f'({per_page_batched*1000:.1f} batched)',
           file=sys.stderr)
     print(json.dumps({
         'metric': 'pages_per_sec_per_chip_e2e_1536px',
         'value': round(pages_per_sec, 3),
         'unit': 'pages/s',
         'vs_baseline': round(pages_per_sec / BASELINE_TARGET, 3),
+        'pages_per_sec_batched': round(1.0 / per_page_batched, 3),
+        'inpaint_crops_ms': round(t_inp * 1000, 1),
+        'inpaint_fullpage_ms': round(t_inp_full * 1000, 1),
     }))
 
 

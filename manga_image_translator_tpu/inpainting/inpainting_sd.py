@@ -94,6 +94,76 @@ def _ddim_inpaint(params, init_latent, nmask, cond, uncond, image_cdt, rng,
     return jnp.clip(img, -1.0, 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'steps', 'guidance'))
+def _dpmpp_inpaint(params, init_latent, nmask, cond, uncond, image_cdt, rng,
+                   cfg: sd.SDConfig, steps: int, guidance: float):
+    """Guided DPM-Solver++(2M) decode in one program (multistep
+    data-prediction solver, eta=0). Same per-step cost as DDIM (two UNet
+    forwards under guidance) but converges in ~15 steps instead of 50 —
+    the reference ships the equivalent sampler at
+    ``inpainting/ldm/models/diffusion/dpm_solver/sampler.py``; this is the
+    2M variant expressed as a ``lax.fori_loop`` over static schedule
+    arrays, carrying the previous data prediction for the second-order
+    correction."""
+    sch = sd.make_ddim_schedule(steps)
+    timesteps = jnp.asarray(sch['timesteps'])
+    alphas = jnp.asarray(sch['alphas'])            # ddim ᾱ at timesteps
+    alphas_prev = jnp.asarray(sch['alphas_prev'])
+    alphas_cumprod = jnp.asarray(sch['alphas_cumprod'])
+
+    t_enc = min(int(0.999 * steps), steps)
+
+    rng, r1 = jax.random.split(rng)
+    noise = jax.random.normal(r1, init_latent.shape, init_latent.dtype)
+    a_enc = alphas[t_enc - 1]
+    x = jnp.sqrt(a_enc) * init_latent + jnp.sqrt(1 - a_enc) * noise
+
+    def lam(a):
+        # log-SNR: log(alpha/sigma) with alpha=sqrt(ᾱ), sigma=sqrt(1-ᾱ)
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def body(i, carry):
+        x, x0_prev, h_prev, rng = carry
+        idx = t_enc - 1 - i
+        step = timesteps[idx]
+        rng, r_q = jax.random.split(rng)
+        # re-noise the unmasked region from the init latent (q_sample)
+        a_full = alphas_cumprod[step]
+        qn = jax.random.normal(r_q, x.shape, x.dtype)
+        noised_input = (jnp.sqrt(a_full) * init_latent
+                        + jnp.sqrt(1 - a_full) * qn)
+        x = (1 - nmask) * noised_input + nmask * x
+
+        x_in = jnp.concatenate([x, image_cdt], axis=-1)
+        t_in = jnp.full((1,), step, jnp.int32)
+        eps_u = sd.unet_forward(params, x_in, t_in, uncond, cfg)
+        eps_c = sd.unet_forward(params, x_in, t_in, cond, cfg)
+        eps = eps_u + guidance * (eps_c - eps_u)
+
+        a_t = alphas[idx]
+        a_next = alphas_prev[idx]
+        sig_t = jnp.sqrt(1 - a_t)
+        sig_next = jnp.sqrt(1 - a_next)
+        x0 = (x - sig_t * eps) / jnp.sqrt(a_t)
+
+        h = lam(a_next) - lam(a_t)
+        r = h_prev / h
+        d = jnp.where(i == 0, x0,
+                      (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * x0_prev)
+        x = (sig_next / sig_t) * x - jnp.sqrt(a_next) * jnp.expm1(-h) * d
+        return x, x0, h, rng
+
+    h0 = jnp.float32(1.0)  # placeholder; i==0 ignores the 2nd-order term
+    x, _, _, rng = jax.lax.fori_loop(
+        0, t_enc, body, (x, jnp.zeros_like(x), h0, rng))
+    x = init_latent * (1 - nmask) + x * nmask
+    img = sd.vae_decode(params, x, cfg)
+    return jnp.clip(img, -1.0, 1.0)
+
+
+_SAMPLERS = {'ddim': _ddim_inpaint, 'dpmpp_2m': _dpmpp_inpaint}
+
+
 def _fill_mask_input(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Blur-fill masked regions from surrounding colors (reference
     fill_mask_input :135-151, PIL alpha-composite pyramid) — cv2 variant."""
@@ -270,7 +340,14 @@ class StableDiffusionInpainter(OfflineInpainter):
 
         tags = self._tags(image)
         pos = 'masterpiece,best quality' + (',' + tags if tags else '')
-        steps = int(os.environ.get('MIT_TPU_SD_STEPS', '50'))
+        # DPM-Solver++(2M) converges in ~15 steps where DDIM needs 50
+        # (reference ships the same trade at ldm/models/diffusion/
+        # dpm_solver/); devscripts/profiling/sd_sampler_ab.py records the
+        # measured per-step cost
+        sampler = os.environ.get('MIT_TPU_SD_SAMPLER', 'dpmpp_2m')
+        sample_fn = _SAMPLERS[sampler]
+        steps = int(os.environ.get(
+            'MIT_TPU_SD_STEPS', '15' if sampler == 'dpmpp_2m' else '50'))
 
         # mask blur + blur fill (reference img2img_inpaint :216-222)
         mask_blur = cv2.GaussianBlur(mask, (0, 0), 16 / 3.0)
@@ -313,8 +390,8 @@ class StableDiffusionInpainter(OfflineInpainter):
         uncond = sd.clip_text_forward(
             self.params, jnp.asarray(self.tokenizer(NEG_PROMPT)), self.cfg)
 
-        out = _ddim_inpaint(self.params, init_latent, nmask, cond, uncond,
-                            image_cdt, rng, self.cfg, steps, 7.0)
+        out = sample_fn(self.params, init_latent, nmask, cond, uncond,
+                        image_cdt, rng, self.cfg, steps, 7.0)
         img_inpainted = np.asarray(
             jnp.clip(jnp.round((out[0] + 1.0) * 127.5), 0, 255)
             .astype(jnp.uint8))

@@ -229,6 +229,87 @@ class Studio(cmd.Cmd):
             self.dest = arg.strip()
         print(f'output folder: {self.dest}')
 
+    def do_job(self, arg):
+        """job <index>                        -- show a job's config snapshot
+        job <index> set <key> <value>         -- edit THIS job's pipeline
+        job <index> unset <key>               -- drop one of its overrides
+        (the reference studio edits per-job pipelines the same way; other
+        jobs and the profile itself are untouched)"""
+        parts = arg.split()
+        if not parts:
+            print('usage: job <index> [set <key> <value> | unset <key>]')
+            return
+        try:
+            job = self.queue[int(parts[0])]
+        except (ValueError, IndexError):
+            print(f'no such job: {parts[0] if parts else ""}')
+            return
+        cfg = job.setdefault('config', {})
+        if len(parts) == 1:
+            print(f'{job["path"]} [{job["status"]}] '
+                  f'(profile snapshot: {job["profile"]})')
+            print(json.dumps(cfg, indent=2))
+            return
+        if parts[1] == 'set' and len(parts) >= 4:
+            keys = parts[2].split('.')
+            node = cfg
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            value = ' '.join(parts[3:])
+            try:
+                value = json.loads(value)
+            except ValueError:
+                pass
+            old = node.get(keys[-1], ...)
+            node[keys[-1]] = value
+            try:
+                Config(**cfg)
+                self._save_queue()
+                print('ok')
+            except Exception as e:
+                print(f'invalid: {e}')
+                if old is ...:
+                    del node[keys[-1]]
+                else:
+                    node[keys[-1]] = old
+        elif parts[1] == 'unset' and len(parts) == 3:
+            keys = parts[2].split('.')
+            node = cfg
+            for k in keys[:-1]:
+                node = node.get(k, {})
+            if keys[-1] in node:
+                del node[keys[-1]]
+                self._save_queue()
+                print('ok')
+            else:
+                print('not set')
+        else:
+            print('usage: job <index> [set <key> <value> | unset <key>]')
+
+    def do_status(self, arg):
+        """status -- queue summary + per-stage timers of finished jobs
+        (the pipeline's StageTimer report, surfaced per job and
+        aggregated)"""
+        counts: Dict[str, int] = {}
+        for job in self.queue:
+            counts[job['status']] = counts.get(job['status'], 0) + 1
+        print(' '.join(f'{k}:{v}' for k, v in sorted(counts.items()))
+              or '(empty queue)')
+        agg: Dict[str, List[float]] = {}
+        for i, job in enumerate(self.queue):
+            stages = job.get('stage_ms')
+            if not stages:
+                continue
+            line = ' | '.join(f'{k} {v:.0f}ms' for k, v in stages.items())
+            print(f'{i:3d} {os.path.basename(job["path"])}: {line}')
+            for k, v in stages.items():
+                agg.setdefault(k, []).append(v)
+        if agg:
+            print('-- mean per stage --')
+            for k, vs in agg.items():
+                print(f'  {k}: {sum(vs) / len(vs):.0f}ms over {len(vs)} '
+                      f'job(s)')
+
     # -- running -----------------------------------------------------------
 
     def _job_config(self, job: Dict) -> Config:
@@ -250,12 +331,22 @@ class Studio(cmd.Cmd):
 
     async def _run_jobs(self, jobs: List[Dict]):
         translator = MangaTranslatorLocal({'ignore_errors': True})
+        current: List[Dict] = [None]
 
         async def hook(state, finished):
+            # per-stage timers ride the progress channel as
+            # 'stage-time:{name}:{ms}' (manga_translator.translate)
+            if state.startswith('stage-time:'):
+                _, name, ms = state.split(':', 2)
+                if current[0] is not None:
+                    current[0].setdefault('stage_ms', {})[name] = float(ms)
+                return
             print(f'  [{state}]', flush=True)
 
         translator.add_progress_hook(hook)
         for job in jobs:
+            current[0] = job
+            job.pop('stage_ms', None)
             job['status'] = 'running'
             self._save_queue()
             t0 = time.time()

@@ -9,6 +9,7 @@ forward here (full capability, no subprocess).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import numpy as np
@@ -157,24 +158,45 @@ class ESRGANUpscaler(ESRGANUpscalerPytorch):
         self.nb = nb if nb > 0 else 6
 
 
+_W2X_ARCHIVE_ROOT = 'waifu2x-ncnn-vulkan-20220728-ubuntu'
+
+
+def _w2x_archive_members():
+    """All waifu2x model files worth extracting from the release archive:
+    cunet + both upconv_7 families, scale-only and noise0-3 variants
+    (the reference executable selects among these via -m/-n/-s,
+    upscaling/waifu2x.py:95-105)."""
+    from ..utils.ncnn_lite import model_relpath
+    members = {}
+    for family in ('cunet', 'upconv_7_anime', 'upconv_7_photo'):
+        for noise in (-1, 0, 1, 2, 3):
+            for ext in ('param', 'bin'):
+                rel = f'{model_relpath(family, noise, 2)}.{ext}'
+                members[f'{_W2X_ARCHIVE_ROOT}/{rel}'] = rel
+        if family == 'cunet':       # cunet also ships 1x denoise models
+            for noise in (0, 1, 2, 3):
+                for ext in ('param', 'bin'):
+                    rel = f'{model_relpath(family, noise, 1)}.{ext}'
+                    members[f'{_W2X_ARCHIVE_ROOT}/{rel}'] = rel
+    return members
+
+
 class Waifu2xUpscaler(OfflineUpscaler):
-    """'waifu2x' key: the actual upconv_7 anime-style network (the model
-    inside the reference's waifu2x-ncnn-vulkan executable,
-    upscaling/waifu2x.py:52-105), run natively in JAX. Weights parse
-    straight out of the executable archive's ncnn .param/.bin pair
-    (models/waifu2x.load_ncnn_upconv7)."""
+    """'waifu2x' key: the networks inside the reference's
+    waifu2x-ncnn-vulkan executable (upscaling/waifu2x.py:52-105), run
+    natively in JAX. The reference invokes the executable with
+    ``-m models-cunet -n 0``; model family and denoise level select via
+    MIT_TPU_WAIFU2X_MODEL (cunet | upconv_7_anime | upconv_7_photo) and
+    MIT_TPU_WAIFU2X_NOISE (-1..3). upconv_7 runs the dedicated
+    models/waifu2x forward; cunet (and any other graph) runs through the
+    from-scratch ncnn reader/evaluator (utils/ncnn_lite)."""
 
     _MODEL_MAPPING = {
         'model': {
             'url': 'https://github.com/nihui/waifu2x-ncnn-vulkan/releases'
                    '/download/20220728/waifu2x-ncnn-vulkan-20220728-ubuntu'
                    '.zip',
-            'archive': {
-                'waifu2x-ncnn-vulkan-20220728-ubuntu/models-upconv_7_'
-                'anime_style_art_rgb/scale2.0x_model.param': 'w2x.param',
-                'waifu2x-ncnn-vulkan-20220728-ubuntu/models-upconv_7_'
-                'anime_style_art_rgb/scale2.0x_model.bin': 'w2x.bin',
-            },
+            'archive': _w2x_archive_members(),
         },
     }
     _VALID_UPSCALE_RATIOS = [1, 2, 4]
@@ -182,35 +204,67 @@ class Waifu2xUpscaler(OfflineUpscaler):
     def __init__(self):
         super().__init__()
         self.params = None
+        self.graph_fn = None
+        self.context = 7
+
+    @staticmethod
+    def _selected_model():
+        family = os.environ.get('MIT_TPU_WAIFU2X_MODEL', 'cunet')
+        noise = int(os.environ.get('MIT_TPU_WAIFU2X_NOISE', '0'))
+        return family, noise
 
     async def _load(self, device: str):
         from ..models import waifu2x as w2x_model
-        # _extract_archive preserves member paths under model_dir
-        member_dir = (self.model_dir / 'waifu2x-ncnn-vulkan-20220728-ubuntu'
-                      / 'models-upconv_7_anime_style_art_rgb')
-        param_path = member_dir / 'scale2.0x_model.param'
-        bin_path = member_dir / 'scale2.0x_model.bin'
+        from ..utils.ncnn_lite import load_ncnn, make_forward, model_relpath
+        family, noise = self._selected_model()
+        rel = model_relpath(family, noise, 2)
+        param_path = self.model_dir / f'{rel}.param'
+        bin_path = self.model_dir / f'{rel}.bin'
+        if not param_path.is_file():
+            # archives extracted by older rounds keep the release root dir
+            param_path = self.model_dir / _W2X_ARCHIVE_ROOT / f'{rel}.param'
+            bin_path = self.model_dir / _W2X_ARCHIVE_ROOT / f'{rel}.bin'
+        self.graph_fn = None
         if param_path.is_file() and bin_path.is_file():
-            self.params = w2x_model.load_ncnn_upconv7(param_path, bin_path)
+            if family.startswith('upconv_7'):
+                self.params = w2x_model.load_ncnn_upconv7(param_path,
+                                                          bin_path)
+                self.context = w2x_model.CONTEXT
+            else:
+                layers = load_ncnn(param_path, bin_path)
+                self.graph_fn = jax.jit(make_forward(layers))
+                self.params = layers
+                # cunet consumes an 18px context border at scale 2
+                self.context = 18
         else:
             from ..utils.inference import (MissingWeightsError,
                                            random_weights_allowed)
             if not random_weights_allowed(self):
                 raise MissingWeightsError(
-                    'waifu2x upconv_7 ncnn weights unavailable '
-                    '(scale2.0x_model.param/bin) and random weights not '
-                    'allowed')
-            self.logger.warning('waifu2x weights unavailable — random init')
+                    f'waifu2x ncnn weights unavailable ({rel}.param/bin) '
+                    'and random weights not allowed')
+            self.logger.warning('waifu2x weights unavailable — random init '
+                                '(upconv_7 fallback)')
             self.using_random_weights = True
             self.params = w2x_model.init_params()
+            self.context = w2x_model.CONTEXT
 
     async def _unload(self):
         self.params = None
+        self.graph_fn = None
 
     def _run_2x(self, arr: np.ndarray) -> np.ndarray:
-        from ..models import waifu2x as w2x_model
-        c = w2x_model.CONTEXT
+        c = self.context
         padded = np.pad(arr, ((c, c), (c, c), (0, 0)), mode='edge')
+        if self.graph_fn is not None:
+            out = np.asarray(self.graph_fn(jnp.asarray(padded)[None]))[0]
+            # crop any residual context the graph's VALID convs left
+            eh = out.shape[0] - 2 * arr.shape[0]
+            ew = out.shape[1] - 2 * arr.shape[1]
+            if eh or ew:
+                out = out[eh // 2:eh // 2 + 2 * arr.shape[0],
+                          ew // 2:ew // 2 + 2 * arr.shape[1]]
+            return out
         out = np.asarray(_w2x_forward(self.params, jnp.asarray(padded)[None])
                          )[0]
         return out

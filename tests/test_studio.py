@@ -90,3 +90,74 @@ def test_clear_keeps_pending(studio, tmp_path):
                          'status': 'done'})
     studio.do_clear('')
     assert [j['status'] for j in studio.queue] == ['pending']
+
+
+def test_job_level_config_editing(studio, tmp_path, capsys):
+    """Per-job pipeline editing (reference MangaStudio edits job pipelines
+    independently of profiles and other jobs)."""
+    img = tmp_path / 'a.png'
+    img.write_bytes(b'x')
+    studio.do_add(str(img))
+    studio.do_add(str(img))
+    studio.do_job(f'0 set translator.translator none')
+    out = capsys.readouterr().out
+    assert 'ok' in out
+    assert studio.queue[0]['config']['translator']['translator'] == 'none'
+    # the other job and the profile stay untouched
+    assert 'translator' not in studio.queue[1]['config']
+    assert 'translator' not in studio.profiles['default']
+    # invalid values roll back
+    studio.do_job('0 set translator.translator not_a_translator')
+    assert 'invalid' in capsys.readouterr().out
+    assert studio.queue[0]['config']['translator']['translator'] == 'none'
+    # unset removes the override
+    studio.do_job('0 unset translator.translator')
+    assert studio.queue[0]['config']['translator'] == {}
+    # persisted
+    with open(os.path.join(str(tmp_path), 'queue.json'),
+              encoding='utf8') as f:
+        assert json.load(f)[0]['config']['translator'] == {}
+
+
+def test_status_surfaces_stage_timers(studio, tmp_path, capsys):
+    img = tmp_path / 'b.png'
+    img.write_bytes(b'x')
+    studio.do_add(str(img))
+    studio.queue[0]['status'] = 'done'
+    studio.queue[0]['stage_ms'] = {'detection': 22.5, 'ocr': 48.0}
+    studio.do_status('')
+    out = capsys.readouterr().out
+    assert 'done:1' in out
+    assert 'detection 22ms' in out or 'detection 23ms' in out
+    assert 'mean per stage' in out
+
+
+def test_run_hook_collects_stage_times(studio, tmp_path):
+    """The progress-channel 'stage-time:' frames land in the running job's
+    stage_ms dict (wiring check without a real pipeline)."""
+    import asyncio
+    from unittest import mock
+    img = tmp_path / 'c.png'
+    img.write_bytes(b'x')
+    studio.do_add(str(img))
+
+    captured_hooks = []
+
+    class FakeTranslator:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_progress_hook(self, h):
+            captured_hooks.append(h)
+
+        async def translate_path(self, path, dest, args):
+            for h in captured_hooks:
+                await h('stage-time:detection:21.0', False)
+                await h('stage-time:ocr:50.5', False)
+
+    from manga_image_translator_tpu import studio as studio_mod
+    with mock.patch.object(studio_mod, 'MangaTranslatorLocal',
+                           FakeTranslator):
+        asyncio.run(studio._run_jobs([studio.queue[0]]))
+    assert studio.queue[0]['stage_ms'] == {'detection': 21.0, 'ocr': 50.5}
+    assert studio.queue[0]['status'] == 'done'

@@ -121,3 +121,143 @@ class TestWaifu2xNcnn:
             transpose_kernel=True)[:, 3:-3, 3:-3, :]
         np.testing.assert_allclose(np.asarray(y)[0], want, rtol=2e-4,
                                    atol=2e-4)
+
+
+class TestNcnnLite:
+    """From-scratch ncnn graph evaluator (utils/ncnn_lite) — runs the cunet
+    family the reference executable defaults to (-m models-cunet,
+    reference upscaling/waifu2x.py:95-105)."""
+
+    def _write_upconv7_with_relu(self, tmp_path, rs):
+        from manga_image_translator_tpu.models.waifu2x import (
+            UPCONV7_CHANNELS)
+        lines = ['7767517', '16 16', 'Input input 0 1 input']
+        blobs = []
+        prev = 'input'
+        for i, (co, ci) in enumerate(UPCONV7_CHANNELS):
+            wsize = co * ci * 9
+            lines.append(
+                f'Convolution conv{i} 1 1 {prev} c{i} 0={co} 1=3 5=1 '
+                f'6={wsize}')
+            lines.append(f'ReLU relu{i} 1 1 c{i} r{i} 0=0.100000')
+            blobs.append(np.zeros(1, np.uint32).tobytes())
+            blobs.append((rs.randn(wsize).astype(np.float32) * 0.05)
+                         .tobytes())
+            blobs.append((rs.randn(co).astype(np.float32) * 0.01).tobytes())
+            prev = f'r{i}'
+        wsize = 256 * 3 * 16
+        lines.append(f'Deconvolution up 1 1 {prev} out 0=3 1=4 3=2 4=3 '
+                     f'5=1 6={wsize}')
+        blobs.append(np.zeros(1, np.uint32).tobytes())
+        blobs.append((rs.randn(wsize).astype(np.float32) * 0.05).tobytes())
+        blobs.append((rs.randn(3).astype(np.float32) * 0.01).tobytes())
+        param = tmp_path / 'm.param'
+        binf = tmp_path / 'm.bin'
+        param.write_text('\n'.join(lines) + '\n')
+        binf.write_bytes(b''.join(blobs))
+        return param, binf
+
+    def test_evaluator_matches_dedicated_upconv7(self, tmp_path):
+        """Evaluator output == the hand-coded upconv_7 forward on the same
+        .param/.bin (the real archive file carries explicit ReLU(0.1)
+        layers, which load_ncnn_upconv7 skips and upconv7_forward bakes
+        in)."""
+        import jax.numpy as jnp
+        from manga_image_translator_tpu.models import waifu2x as w2x
+        from manga_image_translator_tpu.utils import ncnn_lite
+        rs = np.random.RandomState(0)
+        param, binf = self._write_upconv7_with_relu(tmp_path, rs)
+        x = jnp.asarray(rs.rand(1, 30, 26, 3).astype(np.float32))
+        dedicated = w2x.upconv7_forward(w2x.load_ncnn_upconv7(param, binf),
+                                        x)
+        layers = ncnn_lite.load_ncnn(param, binf)
+        generic = ncnn_lite.run_graph(layers, x)
+        np.testing.assert_allclose(np.asarray(generic),
+                                   np.asarray(dedicated), atol=1e-5)
+
+    def test_cunet_style_graph(self, tmp_path):
+        """A cunet-shaped graph: Split -> conv branch -> Crop-to-ref ->
+        BinaryOp add residual, plus an SE block (global Pooling ->
+        InnerProduct -> Sigmoid -> broadcast multiply) — each op checked
+        against a NumPy hand-computation."""
+        from manga_image_translator_tpu.utils import ncnn_lite
+        rs = np.random.RandomState(1)
+        ci, cm = 3, 4
+        w1 = rs.randn(cm * ci * 9).astype(np.float32) * 0.1
+        b1 = rs.randn(cm).astype(np.float32) * 0.01
+        wfc1 = rs.randn(2 * cm).astype(np.float32) * 0.1   # cm -> 2
+        bfc1 = rs.randn(2).astype(np.float32) * 0.01
+        wfc2 = rs.randn(cm * 2).astype(np.float32) * 0.1   # 2 -> cm
+        bfc2 = rs.randn(cm).astype(np.float32) * 0.01
+        lines = [
+            '7767517', '10 12',
+            'Input input 0 1 input',
+            'Split split0 1 2 input in_a in_b',
+            f'Convolution conv1 1 1 in_a f1 0={cm} 1=3 5=1 6={w1.size}',
+            'ReLU relu1 1 1 f1 f1r 0=0.100000',
+            # SE block on f1r
+            'Pooling gap 1 1 f1r pooled 0=1 4=1',
+            f'InnerProduct fc1 1 1 pooled fc1o 0=2 1=1 2={wfc1.size} 9=1',
+            f'InnerProduct fc2 1 1 fc1o fc2o 0={cm} 1=1 2={wfc2.size}',
+            'Sigmoid sig 1 1 fc2o gate',
+            'BinaryOp scale 2 1 f1r gate scaled 0=2',
+            'Crop crop0 2 1 in_b scaled in_c',
+        ]
+        blobs = []
+        for w, b in ((w1, b1), (wfc1, bfc1), (wfc2, bfc2)):
+            blobs.append(np.zeros(1, np.uint32).tobytes())
+            blobs.append(w.tobytes())
+            blobs.append(b.tobytes())
+        (tmp_path / 'c.param').write_text('\n'.join(lines) + '\n')
+        (tmp_path / 'c.bin').write_bytes(b''.join(blobs))
+        layers = ncnn_lite.load_ncnn(tmp_path / 'c.param',
+                                     tmp_path / 'c.bin')
+        x = rs.rand(1, 12, 10, ci).astype(np.float32)
+        out = np.asarray(ncnn_lite.run_graph(layers, x))
+
+        # NumPy reference
+        wc = w1.reshape(cm, ci, 3, 3)
+        f1 = np.zeros((1, 10, 8, cm), np.float32)
+        for oy in range(10):
+            for ox in range(8):
+                patch = x[0, oy:oy + 3, ox:ox + 3, :]           # HWC
+                for co in range(cm):
+                    f1[0, oy, ox, co] = (
+                        patch.transpose(2, 0, 1) * wc[co]).sum() + b1[co]
+        f1 = np.where(f1 >= 0, f1, 0.1 * f1)
+        pooled = f1.mean(axis=(1, 2))                            # (1, cm)
+        h1 = pooled @ wfc1.reshape(2, cm).T + bfc1
+        h1 = np.maximum(h1, 0)
+        h2 = h1 @ wfc2.reshape(cm, 2).T + bfc2
+        gate = 1 / (1 + np.exp(-h2))
+        scaled = f1 * gate.reshape(1, 1, 1, cm)
+        expect = x[0][:10, :8, :3]                               # crop=ref hw
+        np.testing.assert_allclose(out, x[:, :10, :8, :3], atol=1e-4)
+        assert expect.shape == out[0].shape
+        # intermediate check: re-run graph up to 'scaled'
+        partial = [l for l in layers if l.name != 'crop0']
+        out2 = np.asarray(ncnn_lite.run_graph(partial, x))
+        np.testing.assert_allclose(out2, scaled, atol=1e-4)
+
+    def test_model_relpath_naming(self):
+        from manga_image_translator_tpu.utils.ncnn_lite import model_relpath
+        assert model_relpath('cunet', 0, 2) == \
+            'models-cunet/noise0_scale2.0x_model'
+        assert model_relpath('cunet', -1, 2) == \
+            'models-cunet/scale2.0x_model'
+        assert model_relpath('cunet', 3, 1) == 'models-cunet/noise3_model'
+        assert model_relpath('upconv_7_anime', 2, 2) == \
+            'models-upconv_7_anime_style_art_rgb/noise2_scale2.0x_model'
+
+    def test_upscaler_variant_selection(self, monkeypatch):
+        from manga_image_translator_tpu.upscaling.esrgan import (
+            Waifu2xUpscaler)
+        monkeypatch.setenv('MIT_TPU_WAIFU2X_MODEL', 'upconv_7_photo')
+        monkeypatch.setenv('MIT_TPU_WAIFU2X_NOISE', '3')
+        assert Waifu2xUpscaler._selected_model() == ('upconv_7_photo', 3)
+        # every variant is in the archive manifest
+        mapping = Waifu2xUpscaler._MODEL_MAPPING['model']['archive']
+        assert any('noise3_scale2.0x_model.param' in k and
+                   'upconv_7_photo' in k for k in mapping)
+        assert any('models-cunet/noise0_scale2.0x_model.bin' in k
+                   for k in mapping)
