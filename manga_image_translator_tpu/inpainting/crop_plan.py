@@ -83,6 +83,35 @@ class Crop:
         return (self.h, self.w) != (self.bh, self.bw)
 
 
+class OwnerMap:
+    """Lazy full-resolution CC-ownership map.
+
+    ``owner[y, x] == labels_small[(y*hs)//h, (x*ws)//w]`` — the exact
+    inverse of the planner's INTER_AREA box scaling. Materializing the full
+    (H, W) int32 map by fancy indexing costs ~10 ms at 1536² (the whole
+    planner host budget), but the executor only ever reads per-crop CELL
+    slices, so slices are computed on demand. ``np.asarray(owner)`` (used
+    by the invariant tests) still yields the full map.
+    """
+
+    def __init__(self, labels_small: np.ndarray, h_img: int, w_img: int):
+        self._lab = labels_small.astype(np.int32)
+        self._h, self._w = h_img, w_img
+        self._hs, self._ws = labels_small.shape
+
+    def __getitem__(self, key) -> np.ndarray:
+        ys, xs = key
+        rows = (np.arange(*ys.indices(self._h), dtype=np.int64)
+                * self._hs) // self._h
+        cols = (np.arange(*xs.indices(self._w), dtype=np.int64)
+                * self._ws) // self._w
+        return self._lab[rows[:, None], cols[None, :]]
+
+    def __array__(self, dtype=None, copy=None):
+        full = self[:, :]
+        return full if dtype is None else full.astype(dtype)
+
+
 def _round8_down(v: int) -> int:
     return max(8, (v // 8) * 8)
 
@@ -167,16 +196,16 @@ def plan_crops(mask: np.ndarray,
                full_page_pixels: Optional[int] = None,
                analysis_scale: int = 8,
                ) -> Optional[Tuple[List[Crop], np.ndarray,
-                                   Optional[np.ndarray]]]:
+                                   Optional[OwnerMap]]]:
     """Plan inpaint crops for one page mask.
 
     mask: (H, W) uint8, >=127 marks pixels to inpaint (the pipeline's
     refined mask at page resolution).
 
     Returns ``(crops, mask_bin, owner)`` where ``mask_bin`` is the boolean
-    (H, W) inpaint mask and ``owner`` the (H, W) int32 CC-label map the
-    executor composites with (None when there is a single crop — no
-    ownership test needed). Returns ``([], mask_bin, None)`` for an empty
+    (H, W) inpaint mask and ``owner`` a lazy (H, W) int32 CC-label map
+    (``OwnerMap``) the executor composites with (None when there is a
+    single crop — no ownership test needed). Returns ``([], mask_bin, None)`` for an empty
     mask and ``None`` when the planned device pixels exceed
     ``max_coverage`` of the full-page path's pixels (full-page fallback is
     then cheaper).
@@ -301,15 +330,13 @@ def plan_crops(mask: np.ndarray,
     if device_px >= full_page_pixels and len(crops) < 4:
         return None
 
-    owner: Optional[np.ndarray] = None
+    owner: Optional[OwnerMap] = None
     if len(crops) > 1:
-        # upsample the CC label map to full res. Exact inverse of the box
-        # scaling (cell j covers full-res [j*fx, (j+1)*fx), INTER_AREA's
-        # aggregation window): every full-res mask pixel maps into a
-        # positive ``small`` cell, whose label is its owner.
-        rows = (np.arange(h_img, dtype=np.int64) * hs) // h_img
-        cols = (np.arange(w_img, dtype=np.int64) * ws) // w_img
-        owner = labels_small.astype(np.int32)[np.ix_(rows, cols)]
+        # lazy CC label map at full res (exact inverse of the box scaling:
+        # cell j covers full-res [j*fx, (j+1)*fx), INTER_AREA's aggregation
+        # window): every full-res mask pixel maps into a positive ``small``
+        # cell, whose label is its owner. Slices materialize on demand.
+        owner = OwnerMap(labels_small, h_img, w_img)
     return crops, mask_bin, owner
 
 
