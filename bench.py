@@ -7,12 +7,15 @@ Workload definition (kept fixed across rounds so numbers are comparable):
     1536×1536 pages (bf16), batched 4 pages per forward — the
     translate_batch phase-0 path (cost reported per page) — plus host DB
     postprocess on a realistic prob map
-  * OCR: 24 textline crops (48×256), one 32-crop chunk of the 48px
-    transformer (the pipeline's text-heavy chunk size), beam k=5, 64 decode
-    steps (typical manga line length; random weights never emit the end
-    token, so unbounded decode would measure an unrealistic tail)
-  * inpainting: LaMa-large (18 FFC blocks) at 1536×1536, bf16 with fp32
-    FFTs, per page (batching measured flat for inpainting)
+  * OCR: 24 textline crops (48×256), one 24-crop chunk of the 48px
+    transformer (the pipeline's text-heavy BIG_CHUNK: 24*5 beam rows = one
+    128-row MXU tile), beam k=5, 64 decode steps (typical manga line
+    length; random weights never emit the end token, so unbounded decode
+    would measure an unrealistic tail)
+  * inpainting: the production masked-crop path (context-padded bucket
+    crops at the reference's inpainting_size scale) on a representative
+    25-line mask, plus the full-page 1536² LaMa-large forward for
+    round-over-round comparability
 
 Device work is forced with scalar reductions — stage outputs stay in HBM in
 the real pipeline, and this environment tunnels host transfers over the
@@ -182,12 +185,13 @@ def bench_ocr():
 
     params = _bf16(ocr48.init_params(dict_size=7935))
     rs = np.random.RandomState(1)
-    # 24 real crops padded into one 32-crop chunk — the text-heavy chunk
-    # size the 48px OCR actually uses for >16 lines (ocr/model_48px.py)
-    crops = np.zeros((32, 48, 256, 3), np.uint8)
+    # 24 real crops in one 24-crop chunk — the production BIG_CHUNK: n =
+    # 24*5 = 120 beam rows fit ONE 128-row MXU tile, decoding 24 crops at
+    # the 16-crop price (ocr/model_48px.py BIG_CHUNK, ocr_chunk_tile_ab.py)
+    crops = np.zeros((24, 48, 256, 3), np.uint8)
     crops[:24] = rs.randint(0, 255, (24, 48, 256, 3), dtype=np.uint8)
     crops = jnp.asarray(crops, jnp.float32) / 127.5 - 1.0
-    widths = np.zeros((32,), np.int32)
+    widths = np.zeros((24,), np.int32)
     widths[:24] = [200 + (i % 5) * 10 for i in range(24)]
     widths = jnp.asarray(widths)
     max_len = int(os.environ['MIT_TPU_OCR_MAX_LEN'])
@@ -246,11 +250,17 @@ def bench_inpainting():
 
     # production masked-crop path (inpainting/crop_plan.py): plan on the
     # representative mask, time each bucket's batched forward
+    # production config: inpainting_size=1024 (the config.py default) — the
+    # reference full-page path resizes a 1536 page to 1024 before LaMa, so
+    # crops plan at scale 2/3 for like-for-like quality
+    inp_size = 1024
+    scale = min(1.0, inp_size / PAGE)
     mask_np = _bench_mask()
     t0 = time.perf_counter()
     for _ in range(5):
-        plan = plan_crops(mask_np, full_page_pixels=full_page_path_pixels(
-            PAGE, PAGE, PAGE))
+        plan = plan_crops(mask_np, scale=scale,
+                          full_page_pixels=full_page_path_pixels(
+                              PAGE, PAGE, inp_size))
     t_plan = (time.perf_counter() - t0) / 5
     assert plan is not None, 'bench mask unexpectedly fell back'
     crops = plan[0]

@@ -5,7 +5,10 @@ Each arm's graph is traced+compiled EAGERLY while its env value is set —
 the flag is read at trace time inside functional.P.conv_t.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 import numpy as np
 import jax

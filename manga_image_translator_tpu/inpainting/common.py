@@ -96,11 +96,17 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         byte-identical to the input by construction."""
         buckets = tuple(b for b in DEFAULT_BUCKETS
                         if b <= max(DEFAULT_BUCKETS[0], inpainting_size))
+        # crops render at the reference full-page path's effective scale
+        # (page -> inpainting_size aspect-preserving resize) — like-for-like
+        # quality at scale^2 of the native-res pixels. Native-res crops
+        # (above-reference quality, ~2x device px at 1536px) via env.
+        native = os.environ.get('MIT_TPU_INPAINT_CROP_NATIVE', '0') == '1'
         plans = []
         for img, mask in zip(images, masks):
             h, w = img.shape[:2]
+            scale = 1.0 if native else min(1.0, inpainting_size / max(h, w))
             plans.append(plan_crops(
-                mask, buckets=buckets,
+                mask, buckets=buckets, scale=scale,
                 full_page_pixels=full_page_path_pixels(h, w,
                                                        inpainting_size)))
 

@@ -195,12 +195,24 @@ def plan_crops(mask: np.ndarray,
                max_coverage: float = 1.6,
                full_page_pixels: Optional[int] = None,
                analysis_scale: int = 8,
+               scale: float = 1.0,
                ) -> Optional[Tuple[List[Crop], np.ndarray,
                                    Optional[OwnerMap]]]:
     """Plan inpaint crops for one page mask.
 
     mask: (H, W) uint8, >=127 marks pixels to inpaint (the pipeline's
     refined mask at page resolution).
+
+    scale: device resolution per page pixel. The reference's full-page
+    path downscales the page to ``inpainting_size`` before the generator
+    (``inpainting_lama_mpe.py:56-118``: aspect-preserving resize, 1024
+    default — a 1536px page runs LaMa at 2/3 resolution). Planning with
+    the same ``scale`` renders crops at the reference's effective quality
+    for
+    ``scale**2`` of the native-res pixels; the executor resizes each
+    source window down to its bucket and back up at composite. ``1.0``
+    keeps native-res crops (higher quality than the reference full-page
+    path, ~2x the device pixels at 1536px).
 
     Returns ``(crops, mask_bin, owner)`` where ``mask_bin`` is the boolean
     (H, W) inpaint mask and ``owner`` a lazy (H, W) int32 CC-label map
@@ -251,26 +263,35 @@ def plan_crops(mask: np.ndarray,
         boxes[i - 1] = (max(0, x0 - pad), max(0, y0 - pad),
                         min(w_img, x1 + pad), min(h_img, y1 + pad))
 
-    groups = _merge_pixel_saving(boxes, CAP_SIDE, CAP_AREA)
+    # geometry stays in page coordinates; caps/buckets are DEVICE-space
+    # (bucketed crops are resized by ``scale`` before the forward), so page
+    # spans compare against caps inflated by 1/scale
+    scale = min(1.0, max(scale, 1e-3))
+    cap_side_pg = int(CAP_SIDE / scale)
+    cap_area_pg = int(CAP_AREA / (scale * scale))
+    groups = _merge_pixel_saving(boxes, cap_side_pg, cap_area_pg)
 
     crops: List[Crop] = []
     for (x0, y0, x1, y1, labs) in groups:
         gw, gh = x1 - x0, y1 - y0
-        cell_cap_x = CAP_SIDE - 2 * tile_ctx
-        cell_cap_y = CAP_SIDE - 2 * tile_ctx
-        nx = 1 if gw <= CAP_SIDE else -(-gw // cell_cap_x)
-        ny = 1 if gh <= CAP_SIDE else -(-gh // cell_cap_y)
+        cell_cap_x = cap_side_pg - 2 * tile_ctx
+        cell_cap_y = cap_side_pg - 2 * tile_ctx
+        nx = 1 if gw <= cap_side_pg else -(-gw // cell_cap_x)
+        ny = 1 if gh <= cap_side_pg else -(-gh // cell_cap_y)
         # area cap on the BUCKETED shape (bucket snap can inflate a ~900^2
         # group into the pathological square-1024 bucket): tile the longer
         # dim so tiles land in <=768-wide buckets
         if nx == 1 and ny == 1:
-            bw_g = _pick_bucket(buckets, gw, w_img)
-            bh_g = _pick_bucket(buckets, gh, h_img)
+            bw_g = _pick_bucket(buckets, int(round(gw * scale)),
+                                max(8, int(round(w_img * scale))))
+            bh_g = _pick_bucket(buckets, int(round(gh * scale)),
+                                max(8, int(round(h_img * scale))))
             if bw_g * bh_g > CAP_AREA:
+                cell_768 = int(768 / scale) - 2 * tile_ctx
                 if gw >= gh:
-                    nx = -(-gw // (768 - 2 * tile_ctx))
+                    nx = -(-gw // cell_768)
                 else:
-                    ny = -(-gh // (768 - 2 * tile_ctx))
+                    ny = -(-gh // cell_768)
         cell_w = -(-gw // nx)
         cell_h = -(-gh // ny)
         tiled = nx > 1 or ny > 1
@@ -310,10 +331,17 @@ def plan_crops(mask: np.ndarray,
                     py1 = max(py1, min(h_img, my1))
                 else:
                     px0, py0, px1, py1 = cx0, cy0, cx1, cy1
-                bw = _pick_bucket(buckets, px1 - px0, w_img)
-                bh = _pick_bucket(buckets, py1 - py0, h_img)
-                sx, w_src = _place(px0, px1, bw, w_img)
-                sy, h_src = _place(py0, py1, bh, h_img)
+                bw = _pick_bucket(buckets, int(round((px1 - px0) * scale)),
+                                  max(8, int(round(w_img * scale))))
+                bh = _pick_bucket(buckets, int(round((py1 - py0) * scale)),
+                                  max(8, int(round(h_img * scale))))
+                # window length in page px: bucket/scale (the executor
+                # resizes the window down to the bucket), clamped to the
+                # page — extra length is free context, not padding
+                win_w = min(w_img, int(round(bw / scale)))
+                win_h = min(h_img, int(round(bh / scale)))
+                sx, w_src = _place(px0, px1, win_w, w_img)
+                sy, h_src = _place(py0, py1, win_h, h_img)
                 crops.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src),
                                   h=int(h_src), bw=int(bw), bh=int(bh),
                                   gx0=int(cx0), gy0=int(cy0), gx1=int(cx1),

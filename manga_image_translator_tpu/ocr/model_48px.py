@@ -27,10 +27,13 @@ from .common import AvgMeter, OfflineOCR, chunks
 
 TEXT_HEIGHT = 48
 MAX_CHUNK = 16
-# 32-crop chunks measured 21%/crop cheaper on TPU (sequential decode
-# amortizes); used only for text-heavy pages so light pages keep the
-# lower-latency 16-crop graph.
-BIG_CHUNK = 32
+# The decode loop's per-step cost is MXU row-TILE-count-bound, not
+# row-count-bound: n = crops*k(5) beam rows tile onto 128-row MXU tiles, so
+# 24 crops (n=120, ONE tile) decode at the 16-crop (n=80) price — measured
+# 33.5 vs 36.0 ms/chunk, 1.39 vs 2.25 ms/crop; 32 crops (n=160, two tiles)
+# cost 50.0 ms (devscripts/profiling/ocr_chunk_tile_ab.py, r4). Text-heavy
+# pages chunk at 24; light pages keep the lower-latency 16-crop graph.
+BIG_CHUNK = 24
 # width buckets bound the number of compiled beam-search graphs
 WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
 # Reference decodes up to 255 tokens (model_48px.py:120); overridable so

@@ -165,6 +165,26 @@ class TestPlanCrops:
         assert fp == 1024 * 1024
         assert plan_crops(m, full_page_pixels=fp) is None
 
+    def test_scale_shrinks_device_pixels(self):
+        # reference-equivalent scale (inpainting_size/page): buckets snap
+        # to the scaled spans, device pixels drop ~scale^2, ownership
+        # invariants hold unchanged
+        m = _mask()
+        rs = np.random.RandomState(7)
+        for _ in range(25):
+            x, y = rs.randint(0, 1536 - 300), rs.randint(0, 1536 - 60)
+            m[y:y + 40, x:x + 280] = 255
+        native = plan_crops(m, scale=1.0)
+        scaled = plan_crops(m, scale=2 / 3)
+        assert native is not None and scaled is not None
+        px_n = sum(c.bw * c.bh for c in native[0])
+        px_s = sum(c.bw * c.bh for c in scaled[0])
+        assert px_s < 0.62 * px_n
+        crops, mb, owner = scaled
+        assert all(c.scaled for c in crops)
+        own = _ownership_map(crops, mb, owner)
+        assert (own[mb] == 1).all() and own[~mb].sum() == 0
+
     def test_pad_batch_size(self):
         assert pad_batch_size(1) == 1
         assert pad_batch_size(3) == 4
@@ -213,7 +233,13 @@ class TestCropExecutor:
         inp = _FakeInpainter()
         out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
         sel = m >= 127
-        assert (out[sel] == 7).all()                    # crop path ran
+        # crops render at the inpainting_size scale (2/3 here), so the
+        # resize roundtrip blends the 1px mask boundary ring — exactly like
+        # the reference full-page path's downscale. The eroded interior is
+        # pure fill; outside the mask stays byte-identical.
+        import cv2
+        interior = cv2.erode(m, np.ones((5, 5), np.uint8)) >= 127
+        assert (out[interior] == 7).all()               # crop path ran
         np.testing.assert_array_equal(out[~sel], img[~sel])
         # batches padded to a static size
         for shape in inp.batch_shapes:
@@ -227,6 +253,19 @@ class TestCropExecutor:
         out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
         assert (out == 9).all()          # _infer (full-page) path
         assert inp.batch_shapes == []
+
+    def test_native_scale_env_keeps_exact_fill(self, monkeypatch):
+        # MIT_TPU_INPAINT_CROP_NATIVE=1: crops run at page resolution — no
+        # resize roundtrip, every mask pixel is exactly the fill value
+        monkeypatch.setenv('MIT_TPU_INPAINT_CROP_NATIVE', '1')
+        img = self._page()
+        m = _mask()
+        m[700:740, 600:880] = 255
+        inp = _FakeInpainter()
+        out = asyncio.run(inp.inpaint(img, m, InpainterConfig(), 1024))
+        sel = m >= 127
+        assert (out[sel] == 7).all()
+        np.testing.assert_array_equal(out[~sel], img[~sel])
 
     def test_disabled_flag_reverts(self, monkeypatch):
         monkeypatch.setenv('MIT_TPU_INPAINT_CROPS', '0')
@@ -250,9 +289,11 @@ class TestCropExecutor:
         # one bucket, one device call for all 3 pages' crops (padded to 4)
         assert len(inp.batch_shapes) == 1
         assert inp.batch_shapes[0][0] == 4
+        import cv2
         for img, m, out in zip(pages, masks, outs):
             sel = m >= 127
-            assert (out[sel] == 7).all()
+            interior = cv2.erode(m, np.ones((5, 5), np.uint8)) >= 127
+            assert (out[interior] == 7).all()
             np.testing.assert_array_equal(out[~sel], img[~sel])
 
     def test_batch_mixed_fallback(self):
@@ -263,7 +304,9 @@ class TestCropExecutor:
         inp = _FakeInpainter()
         outs = asyncio.run(inp.infer_batch(pages, [m0, m1],
                                            InpainterConfig(), 1024))
-        assert (outs[0][m0 >= 127] == 7).all()
+        import cv2
+        interior0 = cv2.erode(m0, np.ones((5, 5), np.uint8)) >= 127
+        assert (outs[0][interior0] == 7).all()
         assert (outs[1] == 7).all()      # letterbox batch also _batch_forward
         # letterbox path resizes the full page to inpainting_size
         assert any(s[1] > max(DEFAULT_BUCKETS) or s[1] == 1024
