@@ -314,6 +314,12 @@ def nearest2x_conv_packed(x: Array, w: Array, b: Optional[Array] = None
 
 def _deconv_pack_ok(stride: int, padding: int, kernel_size: int,
                     output_padding: int) -> bool:
+    # MEASURED NEGATIVE on v5e (r4, devscripts/profiling/dbnet_deconv_ab):
+    # DBNet-R34 @1536 batch-4 is 69.7 ms packed vs 55.2 ms with XLA's
+    # native transposed-conv lowering — the packed form's s^2-channel
+    # stride-1 conv loses to XLA's own output-res lowering despite the
+    # 128-lane output padding theory. Default stays OFF; torch-exact
+    # rewrite kept behind the flag for other archs/shapes.
     return (os.environ.get('MIT_TPU_DECONV_PACK', '0') == '1'
             and stride > 1
             and kernel_size - 2 * padding + output_padding == stride)
