@@ -146,6 +146,54 @@ def pad_batch_size(n: int) -> int:
     return -(-n // BATCH_SIZES[-1]) * BATCH_SIZES[-1]
 
 
+# Measured v5e LaMa-18 crop cost (devscripts/profiling/crop_inpaint_bench):
+# ~ns per device pixel by padded batch size. Batching amortizes strongly,
+# so padding small bucket groups up to one shared shape often SAVES wall
+# time AND cuts the compiled-shape count.
+_RATE_NS = {1: 40.0, 2: 36.0, 4: 31.0, 8: 26.0, 16: 24.0, 32: 22.0}
+
+
+def _bucket_cost(bh: int, bw: int, n: int) -> float:
+    n_pad = pad_batch_size(n)
+    return bh * bw * n_pad * _RATE_NS.get(n_pad, 22.0)
+
+
+def _consolidate_buckets(shapes: List[Tuple[int, int]]
+                         ) -> dict[Tuple[int, int], Tuple[int, int]]:
+    """Map per-crop (bh, bw) shapes onto a smaller shared set when the
+    batch-rate model says padding up to the elementwise-max shape costs no
+    more device time than running the groups separately (ties accepted:
+    fewer distinct shapes = fewer XLA compiles)."""
+    groups: dict[Tuple[int, int], int] = {}
+    for s in shapes:
+        groups[s] = groups.get(s, 0) + 1
+    mapping = {s: s for s in groups}
+    while len(groups) > 1:
+        best = None
+        items = list(groups.items())
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (ah, aw), na = items[i]
+                (bh, bw), nb = items[j]
+                mh, mw = max(ah, bh), max(aw, bw)
+                if mh * mw > CAP_AREA:
+                    continue
+                delta = (_bucket_cost(mh, mw, na + nb)
+                         - _bucket_cost(ah, aw, na)
+                         - _bucket_cost(bh, bw, nb))
+                if delta <= 0 and (best is None or delta < best[0]):
+                    best = (delta, (ah, aw), (bh, bw), (mh, mw))
+        if best is None:
+            break
+        _, a, b, m = best
+        n = groups.pop(a) + groups.pop(b)
+        groups[m] = groups.get(m, 0) + n
+        for s, t in mapping.items():
+            if t == a or t == b:
+                mapping[s] = m
+    return mapping
+
+
 def _merge_pixel_saving(boxes: np.ndarray, cap_side: int, cap_area: int
                         ) -> List[Tuple[int, int, int, int, List[int]]]:
     """Greedy fixpoint merge of (x0, y0, x1, y1) boxes. Two groups merge
@@ -272,6 +320,7 @@ def plan_crops(mask: np.ndarray,
     groups = _merge_pixel_saving(boxes, cap_side_pg, cap_area_pg)
 
     crops: List[Crop] = []
+    pending: List[tuple] = []
     for (x0, y0, x1, y1, labs) in groups:
         gw, gh = x1 - x0, y1 - y0
         cell_cap_x = cap_side_pg - 2 * tile_ctx
@@ -331,22 +380,34 @@ def plan_crops(mask: np.ndarray,
                     py1 = max(py1, min(h_img, my1))
                 else:
                     px0, py0, px1, py1 = cx0, cy0, cx1, cy1
-                bw = _pick_bucket(buckets, int(round((px1 - px0) * scale)),
-                                  max(8, int(round(w_img * scale))))
-                bh = _pick_bucket(buckets, int(round((py1 - py0) * scale)),
-                                  max(8, int(round(h_img * scale))))
-                # window length in page px: bucket/scale (the executor
-                # resizes the window down to the bucket), clamped to the
-                # page — extra length is free context, not padding
-                win_w = min(w_img, int(round(bw / scale)))
-                win_h = min(h_img, int(round(bh / scale)))
-                sx, w_src = _place(px0, px1, win_w, w_img)
-                sy, h_src = _place(py0, py1, win_h, h_img)
-                crops.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src),
-                                  h=int(h_src), bw=int(bw), bh=int(bh),
-                                  gx0=int(cx0), gy0=int(cy0), gx1=int(cx1),
-                                  gy1=int(cy1),
-                                  labels=tuple(int(v) for v in labs)))
+                pending.append((px0, px1, py0, py1,
+                                cx0, cy0, cx1, cy1, labs))
+
+    # smallest fitting bucket per crop, then cost-model consolidation onto
+    # shared shapes (batch amortization usually beats the padding waste)
+    lim_w = max(8, int(round(w_img * scale)))
+    lim_h = max(8, int(round(h_img * scale)))
+    init_shapes = [( _pick_bucket(buckets, int(round((py1 - py0) * scale)),
+                                  lim_h),
+                     _pick_bucket(buckets, int(round((px1 - px0) * scale)),
+                                  lim_w))
+                   for (px0, px1, py0, py1, *_r) in pending]
+    mapping = _consolidate_buckets(init_shapes)
+    for (px0, px1, py0, py1, cx0, cy0, cx1, cy1, labs), s0 in zip(
+            pending, init_shapes):
+        bh, bw = mapping[s0]
+        # window length in page px: bucket/scale (the executor resizes the
+        # window down to the bucket), clamped to the page — extra length
+        # is free context, not padding
+        win_w = min(w_img, int(round(bw / scale)))
+        win_h = min(h_img, int(round(bh / scale)))
+        sx, w_src = _place(px0, px1, win_w, w_img)
+        sy, h_src = _place(py0, py1, win_h, h_img)
+        crops.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src),
+                          h=int(h_src), bw=int(bw), bh=int(bh),
+                          gx0=int(cx0), gy0=int(cy0), gx1=int(cx1),
+                          gy1=int(cy1),
+                          labels=tuple(int(v) for v in labs)))
 
     device_px = sum(c.bw * c.bh for c in crops)
     if full_page_pixels is None:
