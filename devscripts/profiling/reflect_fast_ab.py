@@ -4,6 +4,8 @@ time, so both variants trace in one process). Also checks numerical
 agreement of the two graphs on device.
 """
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import time
 
 import numpy as np

@@ -319,13 +319,18 @@ def _ffc(p: P, x_l: jax.Array, x_g: Optional[jax.Array], ratio_gin: float,
     so they are one conv with concatenated output channels — per output
     channel the contraction is unchanged (bit-identical), but the conv
     dispatch count halves and the MXU sees one N=C_total matmul instead
-    of two narrow ones (MIT_TPU_LAMA_FUSE_LG=0 reverts to split convs).
+    of two narrow ones (MIT_TPU_LAMA_FUSE_LG=1 opts in).
 
     MIT_TPU_LAMA_FUSE_LG=2 instead fuses convl2l+convg2l along the INPUT
     channel axis (out_l = one conv over concat(x_l, x_g), K=C_l+C_g=512
     at the trunk vs two convs with K=128/K=384) — same FLOPs, one
     contraction instead of conv+conv+add; not bit-identical (one f32
     accumulation order instead of two partial sums added).
+
+    MEASURED NEGATIVE on v5e (r4, lama_flag_ab.py, eager-traced arms, two
+    interleaved passes): full LaMa-18 @1536 is 104.6 ms with fusion OFF vs
+    107.0 (mode 1) / 109.6 (mode 2) — the concats/splits around the fused
+    conv cost more than the saved dispatch. Default stays 0.
     """
     fuse_mode = os.environ.get('MIT_TPU_LAMA_FUSE_LG', '0')
     if (fuse_mode == '3' and ratio_gout not in (0, 1) and x_g is not None
