@@ -69,6 +69,15 @@ def main():
             return lama.lama_generator_forward(params, x,
                                                mask.astype(jnp.bfloat16),
                                                n_blocks=18)
+        # trace+compile NOW, while the env value for this arm is still
+        # set — jax.jit traces lazily at first call, and the flag is read
+        # at trace time; without this both arms silently compile whichever
+        # value was set last (the r3 "neutral A/B" bug, round 2 edition)
+        t0 = time.perf_counter()
+        float(once(img, mask).astype(jnp.float32).sum())
+        float(looped(img, mask))
+        print(f'compiled reflect_fast={flag} in '
+              f'{time.perf_counter() - t0:.0f}s', flush=True)
         return looped, once
 
     loop_off, once_off = make('0')
