@@ -1,5 +1,10 @@
-"""Interleaved one-process A/B of MIT_TPU_DECONV_PACK on the bench
-detection workload (DBNet-R34 @1536, batch 4).
+"""Interleaved one-process A/B of deconv packing on the bench detection
+workload (DBNet-R34 @1536, batch 4).
+
+r4 arm 1 (MIT_TPU_DECONV_PACK all-net): pack1 69.7 vs pack0 55.2 ms —
+REGRESSION, resolved negative. r4 arm 2 (this file now): head-only packing
+(MIT_TPU_DBHEAD_PACK) — only the DB head's 16->16/16->1 transposed convs,
+where XLA's output-res lowering pads out channels 8-128x to the MXU lanes.
 
 Each arm's graph is traced+compiled EAGERLY while its env value is set —
 the flag is read at trace time inside functional.P.conv_t.
@@ -53,8 +58,9 @@ def main():
     x = jnp.asarray(rs.rand(4, PAGE, PAGE, 3).astype(np.float32)
                     * 2 - 1).astype(jnp.bfloat16)
 
-    def make(flag):
+    def make(flag, head_flag='0'):
         os.environ['MIT_TPU_DECONV_PACK'] = flag
+        os.environ['MIT_TPU_DBHEAD_PACK'] = head_flag
 
         def run(x):
             db, mask = dbnet_forward(params, x)
@@ -74,9 +80,9 @@ def main():
         return looped
 
     f0 = make('0')
-    f1 = make('1')
-    for tag, fn in [('pack0', f0), ('pack1', f1),
-                    ('pack0b', f0), ('pack1b', f1)]:
+    fh = make('0', '1')
+    for tag, fn in [('pack0', f0), ('headpack', fh),
+                    ('pack0b', f0), ('headpackb', fh)]:
         for _ in range(N_WARMUP):
             float(fn(x))
         t0 = time.perf_counter()

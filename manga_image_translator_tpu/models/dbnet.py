@@ -84,25 +84,37 @@ def _double_conv_up(p: P, x: jax.Array) -> jax.Array:
     return relu(x)
 
 
+def _head_pack() -> bool:
+    """Head-only phase packing: XLA lowers the 16->16 / 16->1 transposed
+    convs at OUTPUT res (up to full page) with out channels padded to the
+    128 MXU lanes — 8-128x padding waste, unlike the 256-512ch up blocks
+    where the whole-net pack A/B measured a regression. Off pending its
+    own A/B (devscripts/profiling/dbnet_deconv_ab.py --heads)."""
+    import os
+    return os.environ.get('MIT_TPU_DBHEAD_PACK', '0') == '1'
+
+
 def _db_head(p: P, x: jax.Array) -> jax.Array:
     """DBHead (DBHead.py:7-33), inference path: concat(shrink, thresh)."""
+    pk = _head_pack()
     b = p.scope('binarize')
     s = b.conv('0', x, padding=1)
     s = b.bn('1', s)
     s = relu(s)
-    s = b.conv_t('3', s, stride=2, padding=1, kernel_size=4)
+    s = b.conv_t('3', s, stride=2, padding=1, kernel_size=4, pack=pk)
     s = b.bn('4', s)
     s = relu(s)
-    shrink = b.conv_t('6', s, stride=2, padding=1, kernel_size=4)
+    shrink = b.conv_t('6', s, stride=2, padding=1, kernel_size=4, pack=pk)
 
     t = p.scope('thresh')
     v = t.conv('0', x, padding=1)
     v = t.bn('1', v)
     v = relu(v)
-    v = t.conv_t('3', v, stride=2, padding=1, kernel_size=4)
+    v = t.conv_t('3', v, stride=2, padding=1, kernel_size=4, pack=pk)
     v = t.bn('4', v)
     v = relu(v)
-    thresh = sigmoid(t.conv_t('6', v, stride=2, padding=1, kernel_size=4))
+    thresh = sigmoid(t.conv_t('6', v, stride=2, padding=1, kernel_size=4,
+                              pack=pk))
     return jnp.concatenate([shrink, thresh], axis=-1)
 
 
@@ -125,7 +137,9 @@ def dbnet_forward(params: dict, x: jax.Array
       x: (N, H, W, 3) float input normalized to [-1, 1] (x/127.5 - 1,
          reference detection/default.py:19).
     Returns:
-      db:   (N, H/4, W/4, 2) — raw shrink logits + sigmoided threshold map.
+      db:   (N, H, W, 2) — raw shrink logits + sigmoided threshold map
+            (head input is at H/4; its two 2x transposed convs restore
+            full res, reference DBHead.py:7-33).
       mask: (N, H/2, W/2, 1) — text pixel mask, sigmoided.
     """
     p = P(params)

@@ -462,9 +462,21 @@ class P:
                       dilation, groups, pad_mode)
 
     def conv_t(self, name: str, x: Array, stride: int = 2, padding: int = 1,
-               kernel_size: int = 4, output_padding: int = 0) -> Array:
+               kernel_size: int = 4, output_padding: int = 0,
+               pack: bool = None) -> Array:
+        """``pack`` overrides the global MIT_TPU_DECONV_PACK routing per
+        call site (the whole-net A/B regressed on DBNet's 512-channel up
+        blocks, but low-out-channel heads are a different regime — lane
+        padding makes XLA's native lowering pay 128/N over the real
+        work)."""
         b = self[f'{name}.bias'] if f'{name}.bias' in self else None
-        if _deconv_pack_ok(stride, padding, kernel_size, output_padding):
+        if pack is None:
+            pack = _deconv_pack_ok(stride, padding, kernel_size,
+                                   output_padding)
+        else:
+            pack = (pack and stride > 1 and
+                    kernel_size - 2 * padding + output_padding == stride)
+        if pack:
             return conv_transpose2d_packed(x, self[f'{name}.weight'], b,
                                            stride, padding, kernel_size,
                                            output_padding)

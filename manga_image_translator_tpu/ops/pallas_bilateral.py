@@ -175,6 +175,61 @@ def _kernel_skip(sw_ref, dy_ref, dx_ref, img_hbm, out_ref, scratch, sem,
     out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
 
 
+def _kernel_fullhalo(sw_ref, ry_ref, rx_ref, img_hbm, out_ref, scratch, sem,
+                     *, radius: int, tile_h: int, width: int,
+                     gauss_color: float, n_taps: int):
+    """Full-halo channelwise accumulation (v5). The v4 kernel pays, per tap,
+    three slice copies ([:tile_h, :width] of each rolled plane), one
+    ``jnp.stack`` copy and a broadcast multiply — pure VMEM data movement,
+    the scarce resource on v5e (the r3 hoisted-roll A/B showed the rolls
+    themselves are ~free). Here each tap is 6 rolls + channelwise
+    arithmetic on the FULL (halo_h, halo_w) planes with no per-tap
+    reshaping; the output window is sliced ONCE at the end. The halo ring
+    computes garbage (wraparound) that the final slice discards — the kept
+    region reads only in-bounds rows/cols, so results are bit-identical to
+    v1/v4 (same f32 ops in the same tap order). Arithmetic grows by
+    halo/tile pixel ratio (~1.25x at tile 64) but all per-tap copies go
+    away.
+
+    Prefetched scalars: flat space weights sw_ref[t] plus per-tap roll
+    amounts ry_ref/rx_ref (precomputed host-side: roll by radius - dy)."""
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * radius), :],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    c0 = scratch[0]
+    c1 = scratch[1]
+    c2 = scratch[2]
+    halo_h = tile_h + 2 * radius
+    halo_w = scratch.shape[2]
+
+    def tap(t, carry):
+        a0, a1, a2, norm = carry
+        ry = ry_ref[t]
+        rx = rx_ref[t]
+        p0 = pltpu.roll(pltpu.roll(c0, ry, 0), rx, 1)
+        p1 = pltpu.roll(pltpu.roll(c1, ry, 0), rx, 1)
+        p2 = pltpu.roll(pltpu.roll(c2, ry, 0), rx, 1)
+        cdiff = (jnp.abs(p0 - c0) + jnp.abs(p1 - c1) + jnp.abs(p2 - c2))
+        w = sw_ref[t] * jnp.exp(gauss_color * cdiff * cdiff)
+        return a0 + w * p0, a1 + w * p1, a2 + w * p2, norm + w
+
+    z = jnp.zeros((halo_h, halo_w), jnp.float32)
+    a0, a1, a2, norm = jax.lax.fori_loop(0, n_taps, tap, (z, z, z, z))
+    norm = jnp.maximum(norm, 1e-8)
+    # realign with rolls + zero-offset slices (Mosaic rejects non-8-aligned
+    # sublane slices of register values; radius is 8 in production but not
+    # in general)
+    for c, acc in enumerate((a0, a1, a2)):
+        r = acc / norm
+        r = pltpu.roll(r, (halo_h - radius) % halo_h, 0)
+        r = pltpu.roll(r, (halo_w - radius) % halo_w, 1)
+        out_ref[c] = r[:tile_h, :width]
+
+
 def _valid_taps(radius: int) -> tuple:
     """(dy, dx) index lists (0-based into the (2r+1)² table) of the cv2
     circular window (d² <= r²)."""
@@ -193,7 +248,9 @@ def _variant() -> str:
     Mosaic ("Rotate with non-32-bit data" unimplemented) — kept for
     interpret-mode tests and future Mosaic versions;
     'v3' — hoisted row rolls, f32 scratch;
-    'v4' — hoisted row rolls + circular-window tap skip (default)."""
+    'v4' — circular-window tap skip (default);
+    'v5' — tap skip + full-halo channelwise accumulation (no per-tap
+    slice/stack copies; pending TPU A/B vs v4)."""
     import os
     return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v4')
 
@@ -233,6 +290,17 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
             gauss_color=gauss_color, n_taps=len(dys))
         prefetch = (jnp.asarray(space_w), jnp.asarray(dys),
                     jnp.asarray(dxs))
+    elif variant == 'v5':
+        dys, dxs = _valid_taps(radius)
+        halo_h = TILE_H + 2 * radius
+        sw_flat = space_w[dys, dxs]
+        rys = (halo_h - (dys - radius)) % halo_h
+        rxs = (halo_w - (dxs - radius)) % halo_w
+        kernel = functools.partial(
+            _kernel_fullhalo, radius=radius, tile_h=TILE_H, width=w,
+            gauss_color=gauss_color, n_taps=len(dys))
+        prefetch = (jnp.asarray(sw_flat), jnp.asarray(rys, jnp.int32),
+                    jnp.asarray(rxs, jnp.int32))
     else:
         kernel = functools.partial(
             _kernel if variant == 'v1' else _kernel_hoisted,

@@ -35,12 +35,13 @@ def test_matches_xla_formulation():
     assert diff.max() <= 1
 
 
-@pytest.mark.parametrize('variant', ['v2', 'v3', 'v4'])
+@pytest.mark.parametrize('variant', ['v2', 'v3', 'v4', 'v5'])
 def test_hoisted_kernel_matches_v1(variant):
-    """The hoisted-roll kernels (v2 bf16 scratch / v3 f32 scratch) and the
-    circular-tap-skip kernel (v4) are bit-identical to the v1 per-tap-roll
-    kernel on uint8 input (pixel integers 0..255 are exact in bf16; all
-    arithmetic stays f32; skipped taps contribute exactly zero)."""
+    """The hoisted-roll kernels (v2 bf16 scratch / v3 f32 scratch), the
+    circular-tap-skip kernel (v4) and the full-halo channelwise kernel (v5)
+    are bit-identical to the v1 per-tap-roll kernel on uint8 input (pixel
+    integers 0..255 are exact in bf16; all arithmetic stays f32; skipped
+    taps contribute exactly zero; v5's halo ring garbage is sliced away)."""
     rs = np.random.RandomState(2)
     img = rs.randint(0, 255, (72, 100, 3), np.uint8)
     with pltpu.force_tpu_interpret_mode():

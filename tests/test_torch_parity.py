@@ -295,3 +295,24 @@ def test_dbnet_deconv_pack_matches_default(monkeypatch):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dbnet_head_pack_matches_default(monkeypatch):
+    """MIT_TPU_DBHEAD_PACK=1 phase-packs only the DB head's two
+    transposed-conv stacks (16->16, 16->1) — the full detector forward
+    must match the native lowering (same contractions, f32
+    re-association only); the mask head is untouched."""
+    import jax
+    from manga_image_translator_tpu.models.dbnet import (dbnet_forward,
+                                                         init_params)
+    params = init_params(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(23)
+    # smallest size whose 7-level down pyramid stays non-degenerate
+    x = jnp.asarray(rs.rand(1, 128, 128, 3).astype(np.float32) * 2 - 1)
+    monkeypatch.setenv('MIT_TPU_DBHEAD_PACK', '0')
+    db0, m0 = jax.jit(lambda p, x: dbnet_forward(p, x))(params, x)
+    monkeypatch.setenv('MIT_TPU_DBHEAD_PACK', '1')
+    db1, m1 = jax.jit(lambda p, x: dbnet_forward(p, x))(params, x)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
