@@ -287,10 +287,21 @@ def bench_inpainting():
     return t_crop, t_plan, t_crop_batched, t_full
 
 
+def _progress(msg: str):
+    """Stage-by-stage progress on stderr: the tunnel can take minutes per
+    compile, and a silent 10-minute run is undiagnosable from outside."""
+    print(f'# [{time.strftime("%H:%M:%S")}] {msg}', file=sys.stderr,
+          flush=True)
+
+
 def main():
+    _progress('detection…')
     t_det, t_post, t_post_pipe = bench_detection()
+    _progress(f'detection done ({t_det*1000:.1f} ms) — ocr…')
     t_ocr = bench_ocr()
+    _progress(f'ocr done ({t_ocr*1000:.1f} ms) — inpainting…')
     t_inp, t_plan, t_inp_batched, t_inp_full = bench_inpainting()
+    _progress('inpainting done')
     per_page = t_det + t_post_pipe + t_ocr + t_inp + t_plan
     pages_per_sec = 1.0 / per_page
     per_page_batched = t_det + t_post_pipe + t_ocr + t_inp_batched + t_plan

@@ -9,7 +9,11 @@ story is:
   needs no collectives in the forward path;
 * **tensor parallel within models** — the OCR transformer's feed-forward
   (320→2048→320, the widest matmuls) shards its hidden dimension over the
-  ``tp`` axis; GSPMD inserts the reduce-scatter/all-gather pair on ICI;
+  ``tp`` axis; GSPMD inserts the reduce-scatter/all-gather pair on ICI.
+  NOTE: tp sharding is exercised by ``shard_ocr_params_tp`` in the
+  multi-chip dryrun and mesh tests only — the SERVING path shards dp-only
+  (every model fits one chip; dp is strictly cheaper than splitting the
+  small OCR matmuls), so do not read tp as a production default;
 * **fine-tuning** — ``train_step_dbnet`` is a full pjit-able training step
   (forward, loss, grads, SGD update) whose gradient all-reduce rides the
   mesh automatically.
