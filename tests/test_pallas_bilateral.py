@@ -35,7 +35,7 @@ def test_matches_xla_formulation():
     assert diff.max() <= 1
 
 
-@pytest.mark.parametrize('variant', ['v2', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v2', 'v3', 'v4', 'v5', 'v5w'])
 def test_hoisted_kernel_matches_v1(variant):
     """The hoisted-roll kernels (v2 bf16 scratch / v3 f32 scratch), the
     circular-tap-skip kernel (v4) and the full-halo channelwise kernel (v5)
