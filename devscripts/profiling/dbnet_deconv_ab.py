@@ -81,16 +81,20 @@ def main():
 
     f0 = make('0')
     fh = make('0', '1')
-    for tag, fn in [('pack0', f0), ('headpack', fh),
-                    ('pack0b', f0), ('headpackb', fh)]:
+    x8 = jnp.concatenate([x, x], axis=0)
+    for tag, fn, inp, nb in [('pack0', f0, x, 4), ('headpack', fh, x, 4),
+                             ('pack0b', f0, x, 4), ('headpackb', fh, x, 4),
+                             ('pack0-b8', f0, x8, 8),
+                             ('headpack-b8', fh, x8, 8)]:
         for _ in range(N_WARMUP):
-            float(fn(x))
+            float(fn(inp))
         t0 = time.perf_counter()
         for _ in range(N_ITERS):
-            float(fn(x))
+            float(fn(inp))
         t = max((time.perf_counter() - t0) / N_ITERS - _call_floor(),
                 0.0) / REPS
-        print(f'dbnet-1536-b4 {tag}: {t*1e3:.1f} ms', flush=True)
+        print(f'dbnet-1536 {tag}: {t*1e3:.1f} ms/batch '
+              f'({t*1e3/nb:.2f} ms/page)', flush=True)
 
 
 if __name__ == '__main__':
