@@ -134,6 +134,10 @@ def bench_detection():
         return prob.sum() + mask.astype(jnp.float32).sum()
 
     t_dev = _timed_onchip(run, pages) / n_batch
+    # batched lane: 8-page chunks (like the pooled inpaint crops) — DBNet
+    # amortizes ~1.5 ms/page going 4 -> 8 (dbnet_deconv_ab r4)
+    pages8 = jnp.concatenate([pages, pages], axis=0)
+    t_dev8 = _timed_onchip(run, pages8) / (2 * n_batch)
 
     # host postprocess on a realistic synthetic prob map (~25 textlines)
     prob_np = np.zeros((PAGE, PAGE), np.float32)
@@ -177,7 +181,7 @@ def bench_detection():
 
     overhead = wall(True) - wall(False)
     t_post_pipe = max(overhead, 0.0) / n_posts
-    return t_dev, t_post, min(t_post_pipe, t_post)
+    return t_dev, t_dev8, t_post, min(t_post_pipe, t_post)
 
 
 def bench_ocr():
@@ -296,7 +300,7 @@ def _progress(msg: str):
 
 def main():
     _progress('detection…')
-    t_det, t_post, t_post_pipe = bench_detection()
+    t_det, t_det8, t_post, t_post_pipe = bench_detection()
     _progress(f'detection done ({t_det*1000:.1f} ms) — ocr…')
     t_ocr = bench_ocr()
     _progress(f'ocr done ({t_ocr*1000:.1f} ms) — inpainting…')
@@ -304,8 +308,9 @@ def main():
     _progress('inpainting done')
     per_page = t_det + t_post_pipe + t_ocr + t_inp + t_plan
     pages_per_sec = 1.0 / per_page
-    per_page_batched = t_det + t_post_pipe + t_ocr + t_inp_batched + t_plan
-    print(f'# detection(dev): {t_det*1000:.1f} ms | det post(host): '
+    per_page_batched = t_det8 + t_post_pipe + t_ocr + t_inp_batched + t_plan
+    print(f'# detection(dev): {t_det*1000:.1f} ms (b8: {t_det8*1000:.1f}) | '
+          f'det post(host): '
           f'{t_post*1000:.1f} ms (pipelined: {t_post_pipe*1000:.1f}) | '
           f'ocr: {t_ocr*1000:.1f} ms | inpaint(crops): '
           f'{t_inp*1000:.1f} ms + plan {t_plan*1000:.1f} ms '

@@ -7,7 +7,10 @@ v3 — hoisted row rolls, f32 scratch
 One process, interleaved; also checks v2/v3 outputs equal v1 on device.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 import numpy as np
 import jax

@@ -85,11 +85,13 @@ def _double_conv_up(p: P, x: jax.Array) -> jax.Array:
 
 
 def _head_pack() -> bool:
-    """Head-only phase packing: XLA lowers the 16->16 / 16->1 transposed
-    convs at OUTPUT res (up to full page) with out channels padded to the
-    128 MXU lanes — 8-128x padding waste, unlike the 256-512ch up blocks
-    where the whole-net pack A/B measured a regression. Off pending its
-    own A/B (devscripts/profiling/dbnet_deconv_ab.py --heads)."""
+    """Head-only phase packing — MEASURED NEGATIVE on v5e (r4,
+    dbnet_deconv_ab): batch-4 57.0 vs 55.0 ms, batch-8 neutral. Second
+    falsification of the 128-lane output-padding theory (the all-net pack
+    regressed 26% in the same harness): XLA's native transposed-conv
+    lowering evidently does NOT pay the padded-lane cost for low-N heads
+    the way the HLO structure suggested. Default stays OFF; the torch-
+    exact rewrite is kept behind the flag for other archs/shapes."""
     import os
     return os.environ.get('MIT_TPU_DBHEAD_PACK', '0') == '1'
 
