@@ -59,7 +59,14 @@ def _preprocess_page(img: jax.Array, out_h: int, out_w: int,
 
 @jax.jit
 def _preprocess_batch(imgs: jax.Array) -> jax.Array:
-    """Batched bilateral prefilter (pages already letterboxed on host)."""
+    """Batched bilateral prefilter (pages already letterboxed on host).
+
+    Order deviation from the reference (detection/default.py:64 filters the
+    ORIGINAL image, then resizes): the batch path filters the letterboxed
+    canvas so all pages share one static shape. For pages larger than
+    detect_size this is strictly less work at a slightly different (still
+    denoised) input distribution; the single-page `_preprocess_page` keeps
+    the reference order."""
     return bilateral_filter_batch(imgs, 17, 80.0, 80.0)
 
 

@@ -138,14 +138,35 @@ def xpos_step_tables(max_len: int) -> dict:
 # ConvNeXt feature extractor (reference model_48px.py:183-280)
 # --------------------------------------------------------------------------
 
+def _pw_dot() -> bool:
+    """Backbone pw convs as explicit matmuls (x @ w[0,0]) instead of 1x1
+    conv_general_dilated — A/B handle for the 'pw pairs ~6x off roofline'
+    question (XLA's conv lowering may tile 1x1 convs differently from
+    dots at these small spatial dims). Bit-exact: same contraction."""
+    import os
+    return os.environ.get('MIT_TPU_OCR_PW_DOT', '0') == '1'
+
+
+def _pw(p: P, name: str, x: jax.Array) -> jax.Array:
+    if not _pw_dot():
+        return p.conv(name, x)
+    w = p[f'{name}.weight']  # (1, 1, Cin, Cout)
+    out = jax.lax.dot_general(
+        x, w[0, 0].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if f'{name}.bias' in p:
+        out = out + p[f'{name}.bias'].astype(x.dtype)
+    return out
+
+
 def _convnext_block(p: P, x: jax.Array, ks: int) -> jax.Array:
     inp = x
     dim = x.shape[-1]
     x = p.conv('dwconv', x, padding=ks // 2, groups=dim)
     x = p.bn('norm', x, eps=1e-6)
-    x = p.conv('pwconv1', x)
+    x = _pw(p, 'pwconv1', x)
     x = gelu(x)
-    x = p.conv('pwconv2', x)
+    x = _pw(p, 'pwconv2', x)
     # torch gamma shape (1, dim, 1, 1) -> broadcast over NHWC channels
     x = x * p['gamma'].reshape(-1).astype(x.dtype)
     return inp + x
