@@ -21,6 +21,9 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -140,9 +140,10 @@ def xpos_step_tables(max_len: int) -> dict:
 
 def _pw_dot() -> bool:
     """Backbone pw convs as explicit matmuls (x @ w[0,0]) instead of 1x1
-    conv_general_dilated — A/B handle for the 'pw pairs ~6x off roofline'
-    question (XLA's conv lowering may tile 1x1 convs differently from
-    dots at these small spatial dims). Bit-exact: same contraction."""
+    conv_general_dilated. MEASURED NEUTRAL on v5e (r4,
+    ocr_backbone_pwdot_ab: 11.6/11.9 vs 11.6/11.7 ms per 24-crop chunk) —
+    XLA already lowers 1x1 convs to the same dots; the backbone's distance
+    from roofline is NOT the conv-vs-dot lowering. Bit-exact either way."""
     import os
     return os.environ.get('MIT_TPU_OCR_PW_DOT', '0') == '1'
 

@@ -248,11 +248,14 @@ def _variant() -> str:
     Mosaic ("Rotate with non-32-bit data" unimplemented) — kept for
     interpret-mode tests and future Mosaic versions;
     'v3' — hoisted row rolls, f32 scratch;
-    'v4' — circular-window tap skip (default);
+    'v4' — circular-window tap skip;
     'v5' — tap skip + full-halo channelwise accumulation (no per-tap
-    slice/stack copies; pending TPU A/B vs v4)."""
+    slice/stack copies): MEASURED 7.96 vs v4 10.30 vs v1 14.74 ms @1536²
+    on v5e (r4, bilateral_variant_ab) — DEFAULT;
+    'v5w'/'v5m' — v5 at 128/96-row tiles (smaller halo ring): v5w fails
+    to compile (VMEM overflow, JaxRuntimeError, recorded r4)."""
     import os
-    return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v4')
+    return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v5')
 
 
 @functools.partial(jax.jit,
@@ -270,7 +273,7 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
     h, w = img.shape[:2]
     # v5w: wider row tiles amortize the halo ring the full-halo kernel
     # computes garbage on (ratio 1.125 vs 1.25 at 64) for ~2.4x the VMEM
-    tile_h = 128 if variant == 'v5w' else TILE_H
+    tile_h = {'v5w': 128, 'v5m': 96}.get(variant, TILE_H)
     tiles = -(-h // tile_h)
     pad_h = tiles * tile_h - h
     # dynamic lane rotation needs the lane dim to be a multiple of 128;
@@ -293,7 +296,7 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
             gauss_color=gauss_color, n_taps=len(dys))
         prefetch = (jnp.asarray(space_w), jnp.asarray(dys),
                     jnp.asarray(dxs))
-    elif variant in ('v5', 'v5w'):
+    elif variant in ('v5', 'v5w', 'v5m'):
         dys, dxs = _valid_taps(radius)
         halo_h = tile_h + 2 * radius
         sw_flat = space_w[dys, dxs]
