@@ -144,6 +144,13 @@ def dbnet_forward(params: dict, x: jax.Array
             full res, reference DBHead.py:7-33).
       mask: (N, H/2, W/2, 1) — text pixel mask, sigmoided.
     """
+    from .functional import conv_out_native
+    with conv_out_native():
+        return _dbnet_forward_body(params, x)
+
+
+def _dbnet_forward_body(params: dict, x: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
     p = P(params)
     bb = p.scope('backbone')
     h4, h8, h16, h32 = resnet34_features(bb, x)

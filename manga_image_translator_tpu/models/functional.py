@@ -25,14 +25,38 @@ Params = dict
 _DN = ('NHWC', 'HWIO', 'NHWC')
 
 
+_CONV_OUT_NATIVE_SCOPE = False
+
+
+class conv_out_native:
+    """Trace-time scope requesting native-dtype conv outputs for the model
+    graphs inside it. The global A/B (r3) measured f32-preferred faster for
+    LaMa/OCR, but DBNet measured the opposite (r4 dbnet_convout_ab: 54.3
+    vs 55.6/58.0 ms/4-page batch; xprof showed 13.2 ms/batch of unfused
+    f32->bf16 converts at DBNet's full-res shapes) — so the choice is
+    per-model, not global. Results are identical either way (the MXU
+    accumulates f32; only the convert's location changes)."""
+
+    def __enter__(self):
+        global _CONV_OUT_NATIVE_SCOPE
+        self._prev = _CONV_OUT_NATIVE_SCOPE
+        _CONV_OUT_NATIVE_SCOPE = True
+
+    def __exit__(self, *exc):
+        global _CONV_OUT_NATIVE_SCOPE
+        _CONV_OUT_NATIVE_SCOPE = self._prev
+
+
 def _conv_out_type(x: Array):
     """Accumulation/output dtype request for convs.
 
     Default: ask XLA for the f32 accumulator then round to the input dtype
     (one explicit convert; MXU accumulates f32 either way so results are
-    identical). MIT_TPU_CONV_NATIVE_OUT=1 requests the input dtype
-    directly — an A/B handle for whether XLA fuses the convert into the
-    conv epilogue on this backend (read at trace time)."""
+    identical). MIT_TPU_CONV_NATIVE_OUT=1 (global, read at trace time) or
+    an enclosing `conv_out_native()` scope requests the input dtype
+    directly."""
+    if _CONV_OUT_NATIVE_SCOPE:
+        return x.dtype
     if os.environ.get('MIT_TPU_CONV_NATIVE_OUT', '0') == '1':
         return None
     return jnp.float32
