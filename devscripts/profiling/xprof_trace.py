@@ -119,12 +119,31 @@ def make_lama():
     return _looped(run, img, mask)
 
 
+def make_lama_crop():
+    """LaMa at the crop-inpaint production shape (8 x 512x512 bucket)."""
+    from manga_image_translator_tpu.models import lama
+    params = lama.fold_bn(lama.init_params(n_blocks=18, dtype=jnp.bfloat16),
+                          n_blocks=18)
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.rand(8, 512, 512, 3).astype(np.float32))
+    mask = jnp.asarray((rs.rand(8, 512, 512, 1) < 0.15).astype(np.float32))
+
+    def run(img, mask):
+        x = img.astype(jnp.bfloat16) * (1 - mask.astype(jnp.bfloat16))
+        out = lama.lama_generator_forward(params, x,
+                                          mask.astype(jnp.bfloat16),
+                                          n_blocks=18)
+        return out.astype(jnp.float32).sum()
+    return _looped(run, img, mask)
+
+
 STAGES = {
     'ocr_backbone': make_ocr_backbone,
     'ocr_loop': make_ocr_loop,
     'dbnet': make_dbnet,
     'bilateral': make_bilateral,
     'lama': make_lama,
+    'lama_crop': make_lama_crop,
 }
 
 
