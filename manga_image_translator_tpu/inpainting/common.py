@@ -101,14 +101,24 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         # quality at scale^2 of the native-res pixels. Native-res crops
         # (above-reference quality, ~2x device px at 1536px) via env.
         native = os.environ.get('MIT_TPU_INPAINT_CROP_NATIVE', '0') == '1'
-        plans = []
-        for img, mask in zip(images, masks):
+
+        def _plan(img, mask):
             h, w = img.shape[:2]
             scale = 1.0 if native else min(1.0, inpainting_size / max(h, w))
-            plans.append(plan_crops(
+            return plan_crops(
                 mask, buckets=buckets, scale=scale,
                 full_page_pixels=full_page_path_pixels(h, w,
-                                                       inpainting_size)))
+                                                       inpainting_size))
+
+        if len(images) > 1:
+            # planning is cv2/numpy (GIL-releasing) host work at 3-5 ms per
+            # page — thread it across the batch so an 8-page plan costs ~2
+            # pages' worth of wall time
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(4, len(images))) as pool:
+                plans = list(pool.map(_plan, images, masks))
+        else:
+            plans = [_plan(images[0], masks[0])]
 
         outs: List[Optional[np.ndarray]] = [None] * len(images)
         jobs = {}
