@@ -266,6 +266,21 @@ def bench_inpainting():
                           full_page_pixels=full_page_path_pixels(
                               PAGE, PAGE, inp_size))
     t_plan = (time.perf_counter() - t0) / 5
+    # batched lane plans are threaded across the page batch in production
+    # (inpainting/common._inpaint_crops_multi ThreadPoolExecutor(4)):
+    # measure the per-page wall cost of planning 8 pages that way
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _p(_i):
+        return plan_crops(mask_np, scale=scale,
+                          full_page_pixels=full_page_path_pixels(
+                              PAGE, PAGE, inp_size))
+    with ThreadPoolExecutor(4) as pool:
+        list(pool.map(_p, range(8)))          # warm the pool
+        t0 = time.perf_counter()
+        for _ in range(3):
+            list(pool.map(_p, range(8)))
+        t_plan_batched = (time.perf_counter() - t0) / (3 * 8)
     assert plan is not None, 'bench mask unexpectedly fell back'
     crops = plan[0]
 
@@ -288,7 +303,7 @@ def bench_inpainting():
     print(f'# inpaint crop plan: {len(crops)} crops '
           f'{ {f"{bh}x{bw}": n for (bh, bw), n in sorted(buckets.items())} }',
           file=sys.stderr)
-    return t_crop, t_plan, t_crop_batched, t_full
+    return t_crop, t_plan, t_plan_batched, t_crop_batched, t_full
 
 
 def _progress(msg: str):
@@ -304,17 +319,19 @@ def main():
     _progress(f'detection done ({t_det*1000:.1f} ms) — ocr…')
     t_ocr = bench_ocr()
     _progress(f'ocr done ({t_ocr*1000:.1f} ms) — inpainting…')
-    t_inp, t_plan, t_inp_batched, t_inp_full = bench_inpainting()
+    t_inp, t_plan, t_plan_b, t_inp_batched, t_inp_full = bench_inpainting()
     _progress('inpainting done')
     per_page = t_det + t_post_pipe + t_ocr + t_inp + t_plan
     pages_per_sec = 1.0 / per_page
-    per_page_batched = t_det8 + t_post_pipe + t_ocr + t_inp_batched + t_plan
+    per_page_batched = (t_det8 + t_post_pipe + t_ocr + t_inp_batched
+                        + t_plan_b)
     print(f'# detection(dev): {t_det*1000:.1f} ms (b8: {t_det8*1000:.1f}) | '
           f'det post(host): '
           f'{t_post*1000:.1f} ms (pipelined: {t_post_pipe*1000:.1f}) | '
           f'ocr: {t_ocr*1000:.1f} ms | inpaint(crops): '
           f'{t_inp*1000:.1f} ms + plan {t_plan*1000:.1f} ms '
-          f'(batched: {t_inp_batched*1000:.1f}, full-page: '
+          f'(batched: {t_inp_batched*1000:.1f} + plan {t_plan_b*1000:.1f}, '
+          f'full-page: '
           f'{t_inp_full*1000:.1f}) | total {per_page*1000:.1f} ms/page '
           f'({per_page_batched*1000:.1f} batched)',
           file=sys.stderr)
