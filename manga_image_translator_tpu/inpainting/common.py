@@ -27,10 +27,25 @@ import numpy as np
 
 from ..config import InpainterConfig
 from ..utils.inference import InfererModule, ModelWrapper
-from .crop_plan import (full_page_path_pixels, pad_batch_size, plan_crops,
-                        DEFAULT_BUCKETS)
+from .crop_plan import (apply_bucket_mapping, full_page_path_pixels,
+                        pad_batch_size, plan_crops, DEFAULT_BUCKETS,
+                        _consolidate_buckets)
 
 PAD_SIZE = 8
+
+# Shared planner pool (constructing one per inpaint call costs thread
+# setup on every page batch). Only the cv2/numpy portions of plan_crops
+# release the GIL — the pure-Python merge/placement loops serialize — so
+# threading buys ~half the per-page plan cost back, not all of it.
+_PLAN_POOL: Optional["ThreadPoolExecutor"] = None
+
+
+def _plan_pool():
+    global _PLAN_POOL
+    if _PLAN_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _PLAN_POOL = ThreadPoolExecutor(4, thread_name_prefix='crop-plan')
+    return _PLAN_POOL
 
 
 def crops_enabled() -> bool:
@@ -102,23 +117,32 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         # (above-reference quality, ~2x device px at 1536px) via env.
         native = os.environ.get('MIT_TPU_INPAINT_CROP_NATIVE', '0') == '1'
 
+        def _scale(img) -> float:
+            h, w = img.shape[:2]
+            return 1.0 if native else min(1.0, inpainting_size / max(h, w))
+
         def _plan(img, mask):
             h, w = img.shape[:2]
-            scale = 1.0 if native else min(1.0, inpainting_size / max(h, w))
+            # per-page plans stay at their smallest fitting buckets; bucket
+            # consolidation runs ONCE below over the pooled shapes of the
+            # whole batch (the executor's real batch sizes, not per-page
+            # counts)
             return plan_crops(
-                mask, buckets=buckets, scale=scale,
+                mask, buckets=buckets, scale=_scale(img),
                 full_page_pixels=full_page_path_pixels(h, w,
-                                                       inpainting_size))
+                                                       inpainting_size),
+                consolidate=False)
 
         if len(images) > 1:
-            # planning is cv2/numpy (GIL-releasing) host work at 3-5 ms per
-            # page — thread it across the batch so an 8-page plan costs ~2
-            # pages' worth of wall time
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(min(4, len(images))) as pool:
-                plans = list(pool.map(_plan, images, masks))
+            # planning is partly cv2/numpy (GIL-releasing) host work at 3-5
+            # ms per page — thread it across the batch
+            plans = list(_plan_pool().map(_plan, images, masks))
         else:
             plans = [_plan(images[0], masks[0])]
+
+        pooled_shapes = [(c.bh, c.bw) for plan in plans if plan
+                         for c in plan[0]]
+        mapping = _consolidate_buckets(pooled_shapes)
 
         outs: List[Optional[np.ndarray]] = [None] * len(images)
         jobs = {}
@@ -126,6 +150,8 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
             if plan is None:
                 continue
             crops, mask_bin, owner = plan
+            crops = apply_bucket_mapping(crops, mapping, _scale(images[i]),
+                                         *images[i].shape[:2])
             outs[i] = np.copy(images[i])
             for c in crops:
                 jobs.setdefault((c.bh, c.bw), []).append(
@@ -133,9 +159,10 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
 
         if jobs:
             total = sum(len(v) for v in jobs.values())
+            scl = 'native' if native else f'size {inpainting_size}'
             self.logger.info(
-                f'Crop inpainting: {total} crops over {len(jobs)} bucket'
-                f'{"s" if len(jobs) != 1 else ""} '
+                f'Crop inpainting ({scl}): {total} crops over {len(jobs)} '
+                f'bucket{"s" if len(jobs) != 1 else ""} '
                 f'({", ".join(f"{len(v)}x{bh}x{bw}" for (bh, bw), v in sorted(jobs.items()))})')
 
         for (bh, bw), items in sorted(jobs.items()):

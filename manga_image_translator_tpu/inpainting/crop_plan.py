@@ -101,6 +101,17 @@ class OwnerMap:
 
     def __getitem__(self, key) -> np.ndarray:
         ys, xs = key
+        # integer indices are accepted as single-row/col slices so the
+        # object behaves like the ndarray it stands in for; anything
+        # fancier (arrays, bool masks) should go through np.asarray(owner)
+        if isinstance(ys, (int, np.integer)):
+            ys = slice(ys, ys + 1)
+        if isinstance(xs, (int, np.integer)):
+            xs = slice(xs, xs + 1)
+        if not (isinstance(ys, slice) and isinstance(xs, slice)):
+            raise TypeError('OwnerMap supports only (slice|int, slice|int) '
+                            'indexing — materialize via np.asarray(owner) '
+                            'for anything else')
         rows = (np.arange(*ys.indices(self._h), dtype=np.int64)
                 * self._hs) // self._h
         cols = (np.arange(*xs.indices(self._w), dtype=np.int64)
@@ -244,6 +255,7 @@ def plan_crops(mask: np.ndarray,
                full_page_pixels: Optional[int] = None,
                analysis_scale: int = 8,
                scale: float = 1.0,
+               consolidate: bool = True,
                ) -> Optional[Tuple[List[Crop], np.ndarray,
                                    Optional[OwnerMap]]]:
     """Plan inpaint crops for one page mask.
@@ -392,7 +404,12 @@ def plan_crops(mask: np.ndarray,
                      _pick_bucket(buckets, int(round((px1 - px0) * scale)),
                                   lim_w))
                    for (px0, px1, py0, py1, *_r) in pending]
-    mapping = _consolidate_buckets(init_shapes)
+    # consolidate=False leaves every crop at its smallest fitting bucket so
+    # a multi-page executor can run ONE consolidation over the pooled
+    # shapes of the whole batch (its batch sizes are the real ones) and
+    # re-snap via apply_bucket_mapping
+    mapping = (_consolidate_buckets(init_shapes) if consolidate
+               else {s: s for s in init_shapes})
     for (px0, px1, py0, py1, cx0, cy0, cx1, cy1, labs), s0 in zip(
             pending, init_shapes):
         bh, bw = mapping[s0]
@@ -427,6 +444,32 @@ def plan_crops(mask: np.ndarray,
         # cell, whose label is its owner. Slices materialize on demand.
         owner = OwnerMap(labels_small, h_img, w_img)
     return crops, mask_bin, owner
+
+
+def apply_bucket_mapping(crops: List[Crop],
+                         mapping: dict,
+                         scale: float, h_img: int, w_img: int) -> List[Crop]:
+    """Re-snap planned crops onto consolidated bucket shapes.
+
+    ``mapping`` maps (bh, bw) -> (bh', bw') with bh' >= bh and bw' >= bw
+    (``_consolidate_buckets`` only merges onto elementwise maxima), so the
+    new window always covers the old one — extra length is free context.
+    Ownership rects and label sets are untouched."""
+    scale = min(1.0, max(scale, 1e-3))
+    out: List[Crop] = []
+    for c in crops:
+        bh, bw = mapping.get((c.bh, c.bw), (c.bh, c.bw))
+        if (bh, bw) == (c.bh, c.bw):
+            out.append(c)
+            continue
+        win_w = min(w_img, int(round(bw / scale)))
+        win_h = min(h_img, int(round(bh / scale)))
+        sx, w_src = _place(c.x0, c.x0 + c.w, win_w, w_img)
+        sy, h_src = _place(c.y0, c.y0 + c.h, win_h, h_img)
+        out.append(Crop(x0=int(sx), y0=int(sy), w=int(w_src), h=int(h_src),
+                        bw=int(bw), bh=int(bh), gx0=c.gx0, gy0=c.gy0,
+                        gx1=c.gx1, gy1=c.gy1, labels=c.labels))
+    return out
 
 
 def full_page_path_pixels(h: int, w: int, inpainting_size: int) -> int:

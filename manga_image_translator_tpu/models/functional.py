@@ -12,6 +12,7 @@ asymmetrically for even sizes and would break checkpoint parity).
 """
 from __future__ import annotations
 
+import contextvars
 import functools
 import os
 from typing import Optional, Sequence, Tuple, Union
@@ -25,7 +26,12 @@ Params = dict
 _DN = ('NHWC', 'HWIO', 'NHWC')
 
 
-_CONV_OUT_NATIVE_SCOPE = False
+# ContextVar, not a module global: model graphs may be traced concurrently
+# from different threads (e.g. LaMa crop buckets while a detector retraces),
+# and a leaked scope would silently flip another model's measured-faster
+# conv-output preference (perf-only — results are identical either way).
+_CONV_OUT_NATIVE_SCOPE = contextvars.ContextVar('conv_out_native',
+                                                default=False)
 
 
 class conv_out_native:
@@ -38,13 +44,10 @@ class conv_out_native:
     accumulates f32; only the convert's location changes)."""
 
     def __enter__(self):
-        global _CONV_OUT_NATIVE_SCOPE
-        self._prev = _CONV_OUT_NATIVE_SCOPE
-        _CONV_OUT_NATIVE_SCOPE = True
+        self._token = _CONV_OUT_NATIVE_SCOPE.set(True)
 
     def __exit__(self, *exc):
-        global _CONV_OUT_NATIVE_SCOPE
-        _CONV_OUT_NATIVE_SCOPE = self._prev
+        _CONV_OUT_NATIVE_SCOPE.reset(self._token)
 
 
 def _conv_out_type(x: Array):
@@ -55,7 +58,7 @@ def _conv_out_type(x: Array):
     identical). MIT_TPU_CONV_NATIVE_OUT=1 (global, read at trace time) or
     an enclosing `conv_out_native()` scope requests the input dtype
     directly."""
-    if _CONV_OUT_NATIVE_SCOPE:
+    if _CONV_OUT_NATIVE_SCOPE.get():
         return x.dtype
     if os.environ.get('MIT_TPU_CONV_NATIVE_OUT', '0') == '1':
         return None
