@@ -34,6 +34,11 @@ MAX_CHUNK = 16
 # cost 50.0 ms (devscripts/profiling/ocr_chunk_tile_ab.py, r4). Text-heavy
 # pages chunk at 24; light pages keep the lower-latency 16-crop graph.
 BIG_CHUNK = 24
+# How many consecutive same-bucket chunks share one backbone+encoder
+# forward (ocr48.compute_memory). 2 = one 48-crop backbone feeding two
+# 24-crop decode loops; the decode loop itself stays at one MXU row tile.
+MEM_GROUP_CHUNKS = int(__import__('os').environ
+                       .get('MIT_TPU_OCR_MEM_GROUP', 2))
 # width buckets bound the number of compiled beam-search graphs
 WIDTH_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536)
 # Reference decodes up to 255 tokens (model_48px.py:120); overridable so
@@ -167,7 +172,7 @@ class Model48pxOCR(OfflineOCR):
         # Phase 1: build every chunk and ENQUEUE its fast-tier decode —
         # async dispatch lets chunk N+1's host crop work and dispatch
         # overlap chunk N's device decode.
-        pending = []
+        built = []
         for indices in chunks(list(perm), chunk_size):
             widths = [widths_all[i] for i in indices]
             bw = bucket_width(max(widths))
@@ -211,13 +216,50 @@ class Model48pxOCR(OfflineOCR):
                 images = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
 
             vw = jnp.asarray(valid_widths)
-            pending.append((indices, images, vw,
-                            self._two_tier_dispatch(images, vw)))
+            built.append((indices, images, vw, bw))
+
+        # Backbone batch amortization (memory split): the ConvNeXt backbone
+        # runs at 6-19% MXU utilization at 24-crop shapes (r4 xprof — small
+        # K,N with fused VPU epilogues), so consecutive same-bucket chunks
+        # share ONE backbone+encoder forward (ocr48.compute_memory) whose
+        # memory is sliced into per-chunk beam decodes. The long tier also
+        # decodes straight from the saved memory — no backbone recompute.
+        use_mem = (__import__('os').environ
+                   .get('MIT_TPU_OCR_SPLIT_MEMORY', '1') != '0')
+        pending = []
+        if use_mem:
+            g = 0
+            while g < len(built):
+                group = [built[g]]
+                while (len(group) < MEM_GROUP_CHUNKS
+                       and g + len(group) < len(built)
+                       and built[g + len(group)][1].shape
+                       == built[g][1].shape):
+                    group.append(built[g + len(group)])
+                g += len(group)
+                imgs = (jnp.concatenate([c[1] for c in group])
+                        if len(group) > 1 else group[0][1])
+                vws = (jnp.concatenate([c[2] for c in group])
+                       if len(group) > 1 else group[0][2])
+                memory, memory_mask = ocr48.sharded_compute_memory(
+                    self.params, imgs, vws)
+                off = 0
+                for indices, images, vw, _bw in group:
+                    cs = images.shape[0]
+                    mem = (memory[off:off + cs], memory_mask[off:off + cs])
+                    off += cs
+                    pending.append((indices, images, vw, mem,
+                                    self._two_tier_dispatch(images, vw,
+                                                            memory=mem)))
+        else:
+            pending = [(indices, images, vw, None,
+                        self._two_tier_dispatch(images, vw))
+                       for indices, images, vw, _bw in built]
 
         # Phase 2: force results in order; long-tier re-decodes (rare)
         # run here, after every chunk's fast pass is already in flight.
-        for indices, images, vw, fast_ret in pending:
-            ret = self._two_tier_finish(images, vw, fast_ret)
+        for indices, images, vw, mem, fast_ret in pending:
+            ret = self._two_tier_finish(images, vw, fast_ret, memory=mem)
             sequences = np.asarray(ret['sequences'])
             probs = np.asarray(ret['probs'])
             fg = np.asarray(ret['fg'], np.float32)
@@ -268,15 +310,21 @@ class Model48pxOCR(OfflineOCR):
                                      self._two_tier_dispatch(images,
                                                              valid_widths))
 
-    def _two_tier_dispatch(self, images, valid_widths):
+    def _two_tier_dispatch(self, images, valid_widths, memory=None):
         """Enqueue the fast-tier decode WITHOUT host sync — JAX dispatch
         is async, so _infer can enqueue every chunk's fast pass (and do
-        the next chunk's host-side crop warps) while the device works."""
+        the next chunk's host-side crop warps) while the device works.
+        ``memory``: optional precomputed (memory, memory_mask) — the
+        decode then skips the backbone (memory-split path)."""
         fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
+        if memory is not None:
+            return ocr48.sharded_beam_decode_from_memory(
+                self.params, memory[0], memory[1], beams_k=BEAMS,
+                max_len=fast)
         return ocr48.sharded_beam_decode(self.params, images, valid_widths,
                                          beams_k=BEAMS, max_len=fast)
 
-    def _two_tier_finish(self, images, valid_widths, ret):
+    def _two_tier_finish(self, images, valid_widths, ret, memory=None):
         fast = min(FAST_SEQ_LEN, MAX_SEQ_LEN)
         if fast >= MAX_SEQ_LEN:
             return ret
@@ -292,18 +340,32 @@ class Model48pxOCR(OfflineOCR):
         # re-decode ONLY the unfinished rows, compacted into the smaller
         # MAX_CHUNK bucket when they fit (the (16, bucket) graph is the
         # same one small pages compile anyway). Padding rows get width 0
-        # and terminate immediately, like the chunker's own padding.
-        if len(idx) <= MAX_CHUNK < images.shape[0]:
+        # (image path) or duplicate a live row (memory path — duplicates
+        # finish with their source, adding no steps).
+        n_rows = images.shape[0]
+        if len(idx) <= MAX_CHUNK < n_rows:
             take = np.full((MAX_CHUNK,), int(idx[0]), np.int32)
             take[:len(idx)] = idx
             take_j = jnp.asarray(take)
-            sub_imgs = jnp.take(jnp.asarray(images), take_j, axis=0)
-            live = (np.arange(MAX_CHUNK) < len(idx)).astype(np.int32)
-            sub_w = jnp.take(valid_widths, take_j, axis=0) * jnp.asarray(live)
-            full = ocr48.sharded_beam_decode(self.params, sub_imgs, sub_w,
-                                             beams_k=BEAMS,
-                                             max_len=MAX_SEQ_LEN)
+            if memory is not None:
+                full = ocr48.sharded_beam_decode_from_memory(
+                    self.params, jnp.take(memory[0], take_j, axis=0),
+                    jnp.take(memory[1], take_j, axis=0), beams_k=BEAMS,
+                    max_len=MAX_SEQ_LEN)
+            else:
+                sub_imgs = jnp.take(jnp.asarray(images), take_j, axis=0)
+                live = (np.arange(MAX_CHUNK) < len(idx)).astype(np.int32)
+                sub_w = (jnp.take(valid_widths, take_j, axis=0)
+                         * jnp.asarray(live))
+                full = ocr48.sharded_beam_decode(self.params, sub_imgs,
+                                                 sub_w, beams_k=BEAMS,
+                                                 max_len=MAX_SEQ_LEN)
             src_rows = np.arange(len(idx))
+        elif memory is not None:
+            full = ocr48.sharded_beam_decode_from_memory(
+                self.params, memory[0], memory[1], beams_k=BEAMS,
+                max_len=MAX_SEQ_LEN)
+            src_rows = idx
         else:
             full = ocr48.sharded_beam_decode(self.params, images,
                                              valid_widths, beams_k=BEAMS,

@@ -183,6 +183,28 @@ def test_beam_decode_shapes(params):
     assert np.all(np.asarray(ret['probs']) <= 1.0 + 1e-5)
 
 
+def test_memory_split_matches_monolithic(params):
+    """compute_memory + beam_decode_from_memory == beam_decode, including
+    when two chunks share one backbone forward and slice its memory (the
+    backbone batch-amortization path)."""
+    rs = np.random.RandomState(7)
+    imgs = jnp.asarray(rs.rand(4, 48, 64, 3).astype(np.float32) * 2 - 1)
+    widths = jnp.asarray([40, 64, 52, 36])
+    ref = ocr48.beam_decode(params, imgs, widths, beams_k=2, max_len=8)
+    mem, msk = ocr48.compute_memory(params, imgs, widths)
+    for sl in (slice(None), slice(0, 2), slice(2, 4)):
+        got = ocr48.beam_decode_from_memory(params, mem[sl], msk[sl],
+                                            beams_k=2, max_len=8)
+        np.testing.assert_array_equal(np.asarray(got['sequences']),
+                                      np.asarray(ref['sequences'])[sl])
+        np.testing.assert_allclose(np.asarray(got['probs']),
+                                   np.asarray(ref['probs'])[sl],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got['fg']),
+                                   np.asarray(ref['fg'])[sl],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_ocr_pipeline_smoke():
     import asyncio
     from manga_image_translator_tpu.ocr import Ocr, dispatch

@@ -70,6 +70,51 @@ def test_ocr_dispatch_smoke(key):
     assert isinstance(result, list)
 
 
+def test_infer_memory_split_matches_monolithic(monkeypatch):
+    """The grouped backbone path (_infer with MEM_GROUP_CHUNKS=2) must
+    produce the same texts/probs as the monolithic per-chunk decode
+    (MIT_TPU_OCR_SPLIT_MEMORY=0). Chunk sizes are shrunk so the test
+    builds 3 chunks (two grouped + one solo) on CPU cheaply."""
+    from manga_image_translator_tpu.config import OcrConfig
+    from manga_image_translator_tpu.models import ocr48
+    from manga_image_translator_tpu.ocr import model_48px as mod
+    from manga_image_translator_tpu.utils.geometry import Quadrilateral
+
+    monkeypatch.setenv('MIT_TPU_MESH', '0')
+    monkeypatch.setattr(mod, 'MAX_CHUNK', 2)
+    monkeypatch.setattr(mod, 'BIG_CHUNK', 3)
+    monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 10)
+    monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 6)
+
+    m = mod.Model48pxOCR.__new__(mod.Model48pxOCR)
+    import logging
+    m.logger = logging.getLogger('test')
+    m.params = ocr48.fuse_qkv_params(ocr48.init_params(64))
+    m.dictionary = (['<PAD>', '<S>', '</S>', '<SP>']
+                    + [chr(97 + i) for i in range(60)])
+
+    rs = np.random.RandomState(11)
+    img = rs.randint(0, 255, (400, 500, 3), np.uint8)
+    quads = []
+    for i in range(7):
+        y = 10 + i * 50
+        quads.append(Quadrilateral(
+            np.array([[20, y], [200 + 10 * i, y], [200 + 10 * i, y + 30],
+                      [20, y + 30]]), '', 1.0))
+
+    def run():
+        qs = [Quadrilateral(q.pts.copy(), '', 1.0) for q in quads]
+        out = asyncio.run(m._infer(img, qs, OcrConfig(prob=0.0)))
+        return [(r.text, round(float(r.prob), 5)) for r in out]
+
+    monkeypatch.setenv('MIT_TPU_OCR_SPLIT_MEMORY', '0')
+    ref = run()
+    monkeypatch.setenv('MIT_TPU_OCR_SPLIT_MEMORY', '1')
+    got = run()
+    assert got == ref
+    assert len(ref) > 0
+
+
 class TestTwoTierDecode:
     """_two_tier_decode merges full-length re-decodes into the fast pass."""
 
