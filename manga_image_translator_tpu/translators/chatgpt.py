@@ -2,7 +2,10 @@
 
 Contract from reference ``translators/chatgpt.py`` + ``config_gpt.py``: the
 three-step doujin-translator system prompt, ``<|n|>``-prefixed batched query
-format, numbered-response parsing with retries, glossary injection, and the
+format, numbered-response parsing with retries, glossary injection with
+format auto-detection (MIT / Galtransl / Sakura — reference
+``chatgpt.py:832-1110``), fallback-model rotation on repeated failures
+(``OPENAI_FALLBACK_MODEL``, reference ``chatgpt.py:177-265``), and the
 chatgpt/deepseek/groq/custom_openai family sharing one client.
 
 Implemented directly over the REST chat-completions API with aiohttp (no
@@ -57,6 +60,101 @@ _CHAT_SYSTEM_TEMPLATE = (
 _PROMPT_OVERWRITE_KEYS = ('chat_system_template', 'chat_sample')
 
 
+# -- glossary formats (reference chatgpt.py:832-1110) -------------------------
+#
+# Three on-disk dictionary formats are auto-detected, most specific first:
+#   sakura:    every payload line is  ``src->dst``         (\\ or // comments)
+#   galtransl: every payload line is  ``src<TAB|4sp>dst``  (\\ or // comments)
+#   mit:       ``src<TAB|ws>dst [#|// comment]`` where src is a REGEX
+#              (# or // comments; invalid regexes are reported and skipped)
+
+def detect_glossary_type(path: str) -> str:
+    """Classify a glossary file as 'sakura' / 'galtransl' / 'mit' /
+    'unknown' using the same precedence as the reference: a format claims
+    the file only when EVERY payload line parses under it."""
+    with open(path, encoding='utf8') as f:
+        lines = [ln.strip() for ln in f.readlines()]
+
+    def payload(comment_prefixes):
+        return [ln for ln in lines
+                if ln and not any(ln.startswith(p) for p in comment_prefixes)]
+
+    pay = payload(('\\\\', '//'))
+    if pay and all('->' in ln for ln in pay):
+        return 'sakura'
+    if pay and all(('\t' in ln or '    ' in ln) for ln in pay):
+        return 'galtransl'
+    pay = payload(('#', '//'))
+    if pay and all('->' not in ln and len(ln.split(None, 1)) >= 2
+                   for ln in pay):
+        return 'mit'
+    return 'unknown'
+
+
+def load_sakura_glossary(path: str) -> Dict[str, str]:
+    entries: Dict[str, str] = {}
+    with open(path, encoding='utf8') as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('\\\\') or line.startswith('//'):
+                continue
+            if '->' in line:
+                src, dst = line.split('->', 1)
+                if src.strip():
+                    entries[src.strip()] = dst.strip()
+    return entries
+
+
+def load_galtransl_glossary(path: str) -> Dict[str, str]:
+    entries: Dict[str, str] = {}
+    with open(path, encoding='utf8') as f:
+        for line in f:
+            if (not line.strip() or line.startswith('\\\\')
+                    or line.startswith('//')):
+                continue
+            parts = line.split('\t')
+            if len(parts) != 2:
+                parts = line.split('    ', 1)
+            if len(parts) == 2 and parts[0].strip():
+                entries[parts[0].strip()] = parts[1].strip()
+    return entries
+
+
+def load_mit_glossary(path: str, logger=None) -> Dict[str, str]:
+    """MIT format: whitespace-separated ``src dst``, src is a regex
+    (validated — invalid patterns are skipped with a warning), optional
+    trailing ``#``/``//`` comment appended to the target."""
+    entries: Dict[str, str] = {}
+    with open(path, encoding='utf8') as f:
+        for line_no, line in enumerate(f, 1):
+            line = line.strip()
+            if not line or line.startswith('#') or line.startswith('//'):
+                continue
+            comment = ''
+            for sep in ('#', '//'):
+                if sep in line:
+                    line, c = line.split(sep, 1)
+                    line = line.strip()
+                    comment = f'{sep}{c}'
+                    break
+            parts = line.split('\t', 1)
+            if len(parts) == 1:
+                parts = line.split(None, 1)
+            if len(parts) < 2:
+                continue
+            src = parts[0].strip().replace('_', ' ')
+            dst = parts[1].strip().replace('_', ' ')
+            try:
+                re.compile(src)
+            except re.error as e:
+                if logger:
+                    logger.warning(f'glossary line {line_no}: invalid '
+                                   f'regex {src!r} — {e}')
+                continue
+            entries[src] = f'{dst} {comment}' if comment else dst
+    return entries
+
+
 class OpenAITranslator(CommonTranslator):
     """chatgpt backend (aliases: openai, gpt*)."""
 
@@ -64,7 +162,8 @@ class OpenAITranslator(CommonTranslator):
     _INVALID_REPEAT_COUNT = 0
     _MAX_REQUESTS_PER_MINUTE = 200
     _TIMEOUT = 120
-    _RETRY_ATTEMPTS = 3
+    _RETRY_ATTEMPTS = int(os.environ.get('OPENAI_RETRY_ATTEMPTS', 3))
+    _FALLBACK_ATTEMPTS = 3
     _MAX_TOKENS = 8192
 
     def __init__(self):
@@ -72,11 +171,15 @@ class OpenAITranslator(CommonTranslator):
         self.api_key = keys.OPENAI_API_KEY
         self.api_base = keys.OPENAI_API_BASE
         self.model = keys.OPENAI_MODEL
+        # rotated to on repeated primary-model failure (reference
+        # chatgpt.py:177-265: up to 3 fallback requests, output validated)
+        self.fallback_model = os.environ.get('OPENAI_FALLBACK_MODEL')
         self.temperature = 0.3
         self.top_p = 1.0
         self.chat_system_template = _CHAT_SYSTEM_TEMPLATE
         self.glossary_path = keys.OPENAI_GLOSSARY_PATH
         self._glossary: Optional[Dict[str, str]] = None
+        self._glossary_is_regex = False
         self.prev_context: str = ''
 
     def parse_args(self, args):
@@ -95,19 +198,41 @@ class OpenAITranslator(CommonTranslator):
             self._glossary = {}
             path = self.glossary_path
             if path and os.path.isfile(path):
-                with open(path, encoding='utf8') as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line or line.startswith('#'):
-                            continue
-                        parts = re.split(r'\t|->|→', line, maxsplit=1)
-                        if len(parts) == 2:
-                            self._glossary[parts[0].strip()] = parts[1].strip()
+                fmt = detect_glossary_type(path)
+                if fmt == 'sakura':
+                    self._glossary = load_sakura_glossary(path)
+                elif fmt == 'galtransl':
+                    self._glossary = load_galtransl_glossary(path)
+                elif fmt == 'mit':
+                    self._glossary = load_mit_glossary(path, self.logger)
+                    self._glossary_is_regex = True
+                else:
+                    self.logger.warning(
+                        f'Unknown glossary format: {path}')
+                if self._glossary:
+                    self.logger.info(
+                        f'Loaded {len(self._glossary)} glossary entries '
+                        f'({fmt} format) from {path}')
+            elif path:
+                self.logger.warning(f'Glossary file does not exist: {path}')
         return self._glossary
 
     def _relevant_glossary(self, queries: List[str]) -> Dict[str, str]:
+        """Only entries that actually occur in the queries are injected —
+        whole glossaries waste tokens and dilute the system prompt
+        (reference extract_relevant_terms). MIT-format sources are regexes
+        and match with re.search; other formats match as substrings."""
         glossary = self._load_glossary()
         joined = '\n'.join(queries)
+        if self._glossary_is_regex:
+            out = {}
+            for k, v in glossary.items():
+                try:
+                    if re.search(k, joined):
+                        out[k] = v
+                except re.error:      # pragma: no cover - validated at load
+                    continue
+            return out
         return {k: v for k, v in glossary.items() if k in joined}
 
     # -- prompting ------------------------------------------------------------
@@ -142,10 +267,11 @@ class OpenAITranslator(CommonTranslator):
     def _endpoint(self) -> str:
         return f'{self.api_base.rstrip("/")}/chat/completions'
 
-    async def _request(self, messages: List[dict]) -> str:
+    async def _request(self, messages: List[dict],
+                       model: Optional[str] = None) -> str:
         import aiohttp
         payload = {
-            'model': self.model,
+            'model': model or self.model,
             'messages': messages,
             'temperature': self.temperature,
             'top_p': self.top_p,
@@ -188,8 +314,49 @@ class OpenAITranslator(CommonTranslator):
                                         + self.prev_context})
         messages.append({'role': 'user',
                          'content': self._assemble_prompt(to_lang, queries)})
-        response = await self._request(messages)
-        return self._parse_response(response, len(queries))
+        n = len(queries)
+        try:
+            response = await self._request(messages)
+            results = self._parse_response(response, n)
+            if self._results_valid(results, queries):
+                return results
+            primary_err: Optional[Exception] = None
+        except Exception as e:
+            primary_err = e
+            results = [''] * n
+        # Primary model failed (transport error after retries, or an
+        # unusable response) — rotate to the fallback model when one is
+        # configured (reference chatgpt.py:177-265: up to 3 requests,
+        # output validated for count and non-emptiness).
+        if self.fallback_model:
+            for attempt in range(self._FALLBACK_ATTEMPTS):
+                self.logger.warning(
+                    f'Trying fallback model {self.fallback_model!r} '
+                    f'(request {attempt + 1}/{self._FALLBACK_ATTEMPTS})')
+                try:
+                    response = await self._request(
+                        messages, model=self.fallback_model)
+                except Exception as e:
+                    self.logger.warning(f'Fallback request failed: {e}')
+                    await asyncio.sleep(1)
+                    continue
+                fb = self._parse_response(response, n)
+                if self._results_valid(fb, queries):
+                    self.logger.info(
+                        f'Fallback model succeeded on request {attempt + 1}')
+                    return fb
+                self.logger.warning('Fallback model returned no usable '
+                                    'translations')
+        if primary_err is not None:
+            raise primary_err
+        return results
+
+    @staticmethod
+    def _results_valid(results: List[str], queries: List[str]) -> bool:
+        """A batch response is usable when at least one slot holds a
+        non-empty translation that differs from its source text."""
+        return any(r and r.strip() and r.strip() != q.strip()
+                   for r, q in zip(results, queries))
 
 
 class DeepseekTranslator(OpenAITranslator):

@@ -125,3 +125,120 @@ def test_punctuation_only_queries_passthrough():
             raise AssertionError('should not be called')
     out = asyncio.run(Fail().translate('JPN', 'ENG', ['...', '!!']))
     assert out == ['...', '!!']
+
+
+# -- glossary formats + fallback rotation (reference chatgpt.py:177-1110) ----
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text, encoding='utf8')
+    return str(p)
+
+
+def test_glossary_detect_sakura(tmp_path):
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    p = _write(tmp_path, 'g.txt',
+               '// comment\nナルト->Naruto\nサスケ->Sasuke\n')
+    assert cg.detect_glossary_type(p) == 'sakura'
+    d = cg.load_sakura_glossary(p)
+    assert d == {'ナルト': 'Naruto', 'サスケ': 'Sasuke'}
+
+
+def test_glossary_detect_galtransl(tmp_path):
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    p = _write(tmp_path, 'g.txt',
+               '\\\\ header\nナルト\tNaruto\nサスケ    Sasuke\n')
+    assert cg.detect_glossary_type(p) == 'galtransl'
+    d = cg.load_galtransl_glossary(p)
+    assert d == {'ナルト': 'Naruto', 'サスケ': 'Sasuke'}
+
+
+def test_glossary_detect_mit(tmp_path):
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    p = _write(tmp_path, 'g.txt',
+               '# header\nナルト[くん]? Naruto  # honorific optional\n'
+               'broken[ skipped\n')
+    assert cg.detect_glossary_type(p) == 'mit'
+    d = cg.load_mit_glossary(p)
+    assert 'ナルト[くん]?' in d
+    assert d['ナルト[くん]?'].startswith('Naruto')
+    assert '# honorific optional' in d['ナルト[くん]?']
+    assert len(d) == 1  # invalid regex line dropped
+
+
+def test_glossary_relevant_terms_regex_and_substring(tmp_path):
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    t = cg.OpenAITranslator.__new__(cg.OpenAITranslator)
+    import logging
+    t.logger = logging.getLogger('test')
+    # MIT regex matching
+    t.glossary_path = _write(tmp_path, 'mit.txt', 'ナルト[くん]? Naruto\n')
+    t._glossary = None
+    t._glossary_is_regex = False
+    rel = t._relevant_glossary(['ナルトくんは'])
+    assert list(rel.values()) == ['Naruto']
+    assert t._relevant_glossary(['サスケ']) == {}
+    # sakura substring matching
+    t.glossary_path = _write(tmp_path, 'sak.txt', 'サスケ->Sasuke\n')
+    t._glossary = None
+    t._glossary_is_regex = False
+    assert t._relevant_glossary(['サスケと']) == {'サスケ': 'Sasuke'}
+    assert t._relevant_glossary(['ナルト']) == {}
+
+
+def test_fallback_model_rotation(monkeypatch):
+    """Primary model fails -> fallback model is tried (up to 3 requests)
+    and its valid output is returned."""
+    import asyncio
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    import logging
+
+    t = cg.OpenAITranslator.__new__(cg.OpenAITranslator)
+    t.logger = logging.getLogger('test')
+    t.api_key = 'k'
+    t.model = 'primary'
+    t.fallback_model = 'backup'
+    t.chat_system_template = cg._CHAT_SYSTEM_TEMPLATE
+    t.glossary_path = None
+    t._glossary = {}
+    t._glossary_is_regex = False
+    t.prev_context = ''
+    calls = []
+
+    async def fake_request(messages, model=None):
+        calls.append(model or t.model)
+        if (model or t.model) == 'primary':
+            raise RuntimeError('HTTP 500')
+        if len(calls) < 3:
+            return ''                      # first fallback reply unusable
+        return '<|1|>Hello\n<|2|>World'
+
+    monkeypatch.setattr(t, '_request', fake_request)
+    out = asyncio.run(t._translate('JPN', 'ENG', ['こんにちは', '世界']))
+    assert out == ['Hello', 'World']
+    assert calls == ['primary', 'backup', 'backup']
+
+
+def test_fallback_not_configured_raises(monkeypatch):
+    import asyncio
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    import logging
+
+    t = cg.OpenAITranslator.__new__(cg.OpenAITranslator)
+    t.logger = logging.getLogger('test')
+    t.api_key = 'k'
+    t.model = 'primary'
+    t.fallback_model = None
+    t.chat_system_template = cg._CHAT_SYSTEM_TEMPLATE
+    t.glossary_path = None
+    t._glossary = {}
+    t._glossary_is_regex = False
+    t.prev_context = ''
+
+    async def fake_request(messages, model=None):
+        raise RuntimeError('HTTP 500')
+
+    monkeypatch.setattr(t, '_request', fake_request)
+    import pytest
+    with pytest.raises(RuntimeError):
+        asyncio.run(t._translate('JPN', 'ENG', ['こんにちは']))
