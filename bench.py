@@ -187,7 +187,7 @@ def bench_detection():
 def bench_ocr():
     from manga_image_translator_tpu.models import ocr48
 
-    params = _bf16(ocr48.init_params(dict_size=7935))
+    params = _bf16(ocr48.fold_bn(ocr48.init_params(dict_size=7935)))
     rs = np.random.RandomState(1)
     # 24 real crops in one 24-crop chunk — the production BIG_CHUNK: n =
     # 24*5 = 120 beam rows fit ONE 128-row MXU tile, decoding 24 crops at

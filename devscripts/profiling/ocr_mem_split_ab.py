@@ -112,9 +112,16 @@ def main():
     t = timed(dec_run, *mem24, floor=floor)
     print(f'decode   n=24 (1 tile): {t * 1000:6.1f} ms '
           f'({t / 24 * 1000:5.2f} ms/crop)', flush=True)
-    t = timed(dec_run, *mem48, floor=floor)
-    print(f'decode   n=48 (2 tiles): {t * 1000:6.1f} ms '
-          f'({t / 48 * 1000:5.2f} ms/crop)', flush=True)
+    try:
+        t = timed(dec_run, *mem48, floor=floor)
+        print(f'decode   n=48 (2 tiles): {t * 1000:6.1f} ms '
+              f'({t / 48 * 1000:5.2f} ms/crop)', flush=True)
+    except Exception as e:
+        # n=240 beam rows overflow the decode kernel's scoped VMEM stack
+        # (measured: 17.52M vs 17M limit) — 48-crop single-loop decode is
+        # structurally out of reach for this kernel design.
+        print(f'decode   n=48: FAILED ({type(e).__name__}: '
+              f'{str(e)[:120]})', flush=True)
 
     # 3. control: fused 24-crop beam_decode (the current bench lane)
     def fused(c, w):
@@ -143,9 +150,13 @@ def main():
           flush=True)
 
     # 5. big loop: fused 48-crop decode (n=240, two tiles)
-    t = timed(fused, c48, w48, floor=floor)
-    print(f'fused    48-crop big loop: {t * 1000:6.1f} ms '
-          f'({t / 48 * 1000:5.2f} ms/crop)', flush=True)
+    try:
+        t = timed(fused, c48, w48, floor=floor)
+        print(f'fused    48-crop big loop: {t * 1000:6.1f} ms '
+              f'({t / 48 * 1000:5.2f} ms/crop)', flush=True)
+    except Exception as e:
+        print(f'fused    48-crop big loop: FAILED ({type(e).__name__}: '
+              f'{str(e)[:120]})', flush=True)
 
 
 if __name__ == '__main__':

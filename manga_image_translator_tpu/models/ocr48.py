@@ -164,7 +164,8 @@ def _convnext_block(p: P, x: jax.Array, ks: int) -> jax.Array:
     inp = x
     dim = x.shape[-1]
     x = p.conv('dwconv', x, padding=ks // 2, groups=dim)
-    x = p.bn('norm', x, eps=1e-6)
+    if 'norm.running_mean' in p:      # absent once fold_bn has run
+        x = p.bn('norm', x, eps=1e-6)
     x = _pw(p, 'pwconv1', x)
     x = gelu(x)
     x = _pw(p, 'pwconv2', x)
@@ -184,7 +185,8 @@ def _conv_bn_relu(p: P, idx0: int, x: jax.Array, stride, padding=0) -> jax.Array
         preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)
-    out = p.bn(str(idx0 + 1), out)
+    if f'{idx0 + 1}.running_mean' in p:
+        out = p.bn(str(idx0 + 1), out)
     return relu(out)
 
 
@@ -192,11 +194,13 @@ def convnext_features(p: P, x: jax.Array) -> jax.Array:
     """(N, 48, W, 3) → (N, W/4, 320) memory tokens."""
     s = p.scope('stem')
     x = s.conv('0', x, padding=3)
-    x = s.bn('1', x)
+    if '1.running_mean' in s:
+        x = s.bn('1', x)
     x = relu(x)
     x = _conv_bn_relu(s, 3, x, 2)
     x = s.conv('6', x, padding=1)
-    x = s.bn('7', x)
+    if '7.running_mean' in s:
+        x = s.bn('7', x)
     x = relu(x)
     for i in range(4):
         x = _convnext_block(p.scope(f'block1.{i}'), x, 7)
@@ -596,6 +600,54 @@ def char_topk(params: Dict, decoded: jax.Array, k: int,
     vals, idx = jax.lax.top_k(logits, k)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     return vals - lse[:, None], idx
+
+
+def fold_bn(params: Dict) -> Dict:
+    """Fold every inference-mode backbone BatchNorm into the conv before it.
+
+    The 24-crop backbone's ~30 conv fusions are Compute-bound with fused
+    VPU epilogues (dwconv+bn+gelu+residual) serializing against the MXU
+    (r4 xprof) — folding BN removes one scale+shift per conv from each
+    epilogue. ``convnext_features`` detects folded params by the absence
+    of ``*.running_mean`` keys. Same trick as ``lama.fold_bn``.
+    """
+    import numpy as _np
+
+    out = dict(params)
+
+    def sb(bn_key, eps):
+        g = _np.asarray(params[f'{bn_key}.weight'], _np.float32)
+        b = _np.asarray(params[f'{bn_key}.bias'], _np.float32)
+        mu = _np.asarray(params[f'{bn_key}.running_mean'], _np.float32)
+        var = _np.asarray(params[f'{bn_key}.running_var'], _np.float32)
+        s = g / _np.sqrt(var + eps)
+        for suffix in ('weight', 'bias', 'running_mean', 'running_var'):
+            out.pop(f'{bn_key}.{suffix}', None)
+        return s, b - mu * s
+
+    def fold(conv_key, bn_key, eps=1e-5):
+        if f'{bn_key}.running_mean' not in params:
+            return
+        s, t = sb(bn_key, eps)
+        w = _np.asarray(params[f'{conv_key}.weight'], _np.float32)
+        dt = np.asarray(params[f'{conv_key}.weight']).dtype
+        out[f'{conv_key}.weight'] = jnp.asarray(
+            (w * s[None, None, None, :]).astype(dt))
+        old_b = _np.asarray(params.get(f'{conv_key}.bias', 0.0), _np.float32)
+        out[f'{conv_key}.bias'] = jnp.asarray((old_b * s + t).astype(dt))
+
+    bb = 'backbone'
+    for c, b in (('stem.0', 'stem.1'), ('stem.3', 'stem.4'),
+                 ('stem.6', 'stem.7'), ('down1.0', 'down1.1'),
+                 ('down2.0', 'down2.1'), ('down3.0', 'down3.1'),
+                 ('down4.0', 'down4.1')):
+        fold(f'{bb}.{c}', f'{bb}.{b}')
+    for name, nblk in (('block1', 4), ('block2', 12), ('block3', 10),
+                       ('block4', 8)):
+        for i in range(nblk):
+            fold(f'{bb}.{name}.{i}.dwconv', f'{bb}.{name}.{i}.norm',
+                 eps=1e-6)
+    return out
 
 
 def fuse_qkv_params(params: Dict) -> Dict:

@@ -98,11 +98,14 @@ class Model48pxOCR(OfflineOCR):
                                 'placeholder dictionary')
             self.dictionary = _placeholder_dictionary()
         dict_size = len(self.dictionary)
-        self.params = ocr48.fuse_qkv_params(self.load_params_converted(
+        params = self.load_params_converted(
             'model',
             lambda sd: convert_state_dict(
                 sd, embedding_patterns=ocr48.EMBEDDING_PATTERNS),
-            init_fn=lambda: ocr48.init_params(dict_size)))
+            init_fn=lambda: ocr48.init_params(dict_size))
+        if __import__('os').environ.get('MIT_TPU_OCR_FOLD_BN', '1') != '0':
+            params = ocr48.fold_bn(params)
+        self.params = ocr48.fuse_qkv_params(params)
 
     async def _unload(self):
         self.params = None

@@ -183,6 +183,30 @@ def test_beam_decode_shapes(params):
     assert np.all(np.asarray(ret['probs']) <= 1.0 + 1e-5)
 
 
+def test_fold_bn_matches_unfolded(params):
+    """fold_bn folds every backbone BatchNorm into its conv exactly (f32
+    fold — differences are float re-association only), and the forward
+    skips the removed BN ops."""
+    rs = np.random.RandomState(3)
+    # make BN stats non-trivial so the fold actually does something
+    p2 = dict(params)
+    for k in list(p2):
+        if k.endswith('.running_mean'):
+            p2[k] = jnp.asarray(rs.randn(*p2[k].shape).astype(np.float32)
+                                * 0.1)
+        elif k.endswith('.running_var'):
+            p2[k] = jnp.asarray(
+                1.0 + 0.5 * rs.rand(*p2[k].shape).astype(np.float32))
+    x = jnp.asarray(rs.rand(2, 48, 64, 3).astype(np.float32) * 2 - 1)
+    ref = ocr48.convnext_features(P(p2).scope('backbone'), x)
+    folded = ocr48.fold_bn(p2)
+    assert not any(k.endswith('.running_mean') and k.startswith('backbone')
+                   for k in folded)
+    got = ocr48.convnext_features(P(folded).scope('backbone'), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_memory_split_matches_monolithic(params):
     """compute_memory + beam_decode_from_memory == beam_decode, including
     when two chunks share one backbone forward and slice its memory (the
