@@ -31,16 +31,24 @@ class MangaTranslatorWS(MangaTranslator):
 
     async def listen(self, translation_params: Optional[dict] = None):
         import websockets
+        headers = {'x-secret': self.secret} if self.secret else None
+        # websockets >= 14 renamed extra_headers -> additional_headers
+        hdr_kw = ('additional_headers'
+                  if 'additional_headers' in
+                  __import__('inspect').signature(
+                      websockets.connect).parameters
+                  else 'extra_headers')
         while True:
             try:
                 async with websockets.connect(
-                        self.url, extra_headers={
-                            'x-secret': self.secret} if self.secret else None,
-                        max_size=1 << 30) as ws:
+                        self.url, max_size=1 << 30,
+                        **{hdr_kw: headers}) as ws:
                     self._current_ws = ws
                     logger.info(f'Connected to {self.url}')
                     async for raw in ws:
                         await self._handle_message(ws, raw)
+            except asyncio.CancelledError:
+                raise
             except Exception as e:
                 logger.warning(f'WS connection lost: {e}; retrying in 5s')
                 await asyncio.sleep(5)
