@@ -63,6 +63,10 @@ def pytest_collection_modifyitems(config, items):
 def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'quick: fast CI tier (host logic, light compiles)')
+    config.addinivalue_line(
+        'markers', 'realweights: downloads real released checkpoints and '
+        'golden-diffs against the torch reference (network-gated; skipped '
+        'cleanly offline)')
 
 
 def pytest_addoption(parser):
