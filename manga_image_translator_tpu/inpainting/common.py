@@ -89,6 +89,19 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
         inpainted. Overridden by inpainters with a batchable forward."""
         raise NotImplementedError
 
+    def _batch_forward_dispatch(self, imgs: np.ndarray, masks: np.ndarray,
+                                config: InpainterConfig):
+        """Enqueue a batch forward WITHOUT host sync; the returned handle
+        feeds ``_batch_forward_collect``. JAX dispatch is async, so the
+        crop executor can dispatch every bucket's forward (and do the next
+        bucket's host crop/resize work) while the device computes.
+        Default: the synchronous ``_batch_forward`` (collect is a no-op)."""
+        return self._batch_forward(imgs, masks, config)
+
+    @staticmethod
+    def _batch_forward_collect(handle) -> np.ndarray:
+        return np.asarray(handle)
+
     @property
     def supports_batch(self) -> bool:
         return (type(self)._batch_forward
@@ -165,6 +178,12 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
                 f'bucket{"s" if len(jobs) != 1 else ""} '
                 f'({", ".join(f"{len(v)}x{bh}x{bw}" for (bh, bw), v in sorted(jobs.items()))})')
 
+        # Pass 1: build + DISPATCH every bucket's forward (async — the
+        # device starts on bucket 1 while bucket 2's host crop/resize work
+        # runs); pass 2 collects and composites in order. Host work
+        # (building, compositing) thereby overlaps device compute instead
+        # of serializing with it.
+        handles = []
         for (bh, bw), items in sorted(jobs.items()):
             n_pad = pad_batch_size(len(items))
             batch_img = np.zeros((n_pad, bh, bw, 3), np.uint8)
@@ -179,7 +198,12 @@ class OfflineInpainter(CommonInpainter, ModelWrapper):
                                          interpolation=cv2.INTER_LINEAR)
                 batch_img[k] = src_img
                 batch_msk[k] = src_msk
-            res = self._batch_forward(batch_img, batch_msk, config)
+            handles.append(
+                (items, self._batch_forward_dispatch(batch_img, batch_msk,
+                                                     config)))
+
+        for items, handle in handles:
+            res = self._batch_forward_collect(handle)
             for k, (i, c, mask_bin, owner) in enumerate(items):
                 out = res[k]
                 if c.scaled:

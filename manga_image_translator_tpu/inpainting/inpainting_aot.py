@@ -91,8 +91,8 @@ class AotInpainter(OfflineInpainter):
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
 
-    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
-                       config: InpainterConfig) -> np.ndarray:
+    def _batch_forward_dispatch(self, imgs: np.ndarray, masks: np.ndarray,
+                                config: InpainterConfig):
         from ..parallel.mesh import sharded_batch
         img_j = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
         mask_j = (jnp.asarray(masks, jnp.float32)[..., None]
@@ -101,5 +101,9 @@ class AotInpainter(OfflineInpainter):
             _aot_body, 'aot.batch', self.params, img_j, mask_j,
             jit_fallback=functools.partial(_aot_forward,
                                            dtype=jnp.bfloat16))
-        return np.asarray(jnp.clip(
-            jnp.round((out + 1.0) * 127.5), 0, 255).astype(jnp.uint8))
+        return jnp.clip(
+            jnp.round((out + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        return np.asarray(self._batch_forward_dispatch(imgs, masks, config))

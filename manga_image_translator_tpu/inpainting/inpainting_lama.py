@@ -126,8 +126,8 @@ class LamaLargeInpainter(OfflineInpainter):
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
 
-    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
-                       config: InpainterConfig) -> np.ndarray:
+    def _batch_forward_dispatch(self, imgs: np.ndarray, masks: np.ndarray,
+                                config: InpainterConfig):
         from ..parallel.mesh import sharded_batch
         dtype = self._compute_dtype(config)
         n_blocks = self._N_BLOCKS
@@ -140,8 +140,11 @@ class LamaLargeInpainter(OfflineInpainter):
             self.params, img_j, mask_j,
             jit_fallback=functools.partial(_lama_forward,
                                            n_blocks=n_blocks, dtype=dtype))
-        return np.asarray(
-            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
+        return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        return np.asarray(self._batch_forward_dispatch(imgs, masks, config))
 
 
 class LamaMPEInpainter(LamaLargeInpainter):
@@ -227,8 +230,8 @@ class LamaMPEInpainter(LamaLargeInpainter):
         return (img_inpainted * mask_original
                 + img_original * (1 - mask_original)).astype(np.uint8)
 
-    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
-                       config: InpainterConfig) -> np.ndarray:
+    def _batch_forward_dispatch(self, imgs: np.ndarray, masks: np.ndarray,
+                                config: InpainterConfig):
         from ..parallel.mesh import sharded_batch
         dtype = self._compute_dtype(config)
         mask_bin = ((masks.astype(np.float32) / 255.0) >= 0.5).astype(
@@ -248,8 +251,11 @@ class LamaMPEInpainter(LamaLargeInpainter):
             jit_fallback=functools.partial(_lama_mpe_forward,
                                            n_blocks=self._N_BLOCKS,
                                            dtype=dtype))
-        return np.asarray(
-            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
+        return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+    def _batch_forward(self, imgs: np.ndarray, masks: np.ndarray,
+                       config: InpainterConfig) -> np.ndarray:
+        return np.asarray(self._batch_forward_dispatch(imgs, masks, config))
 
 
 def _pick_gen(sd):
