@@ -325,3 +325,58 @@ class TestCropExecutor:
         interior = cv2.erode(m, np.ones((9, 9), np.uint8)) >= 127
         assert (out[interior] == 7).all()
         np.testing.assert_array_equal(out[~sel], img[~sel])
+
+
+class TestInsideMaskQuality:
+    """Inside-mask fill quality of the crop path vs the full-page path with
+    seeded LaMa weights (regression for the tolerance measured by
+    devscripts/studies/crop_inpaint_quality_ab.py): the crop fill must stay
+    at least as close to the full-page fill as the full-page fill is to
+    ITSELF under the reference's own accepted scale change
+    (inpainting_size resize, reference inpainting_lama_mpe.py:56-118)."""
+
+    @staticmethod
+    def _psnr_inside(a, b, mask_bin):
+        d = (a.astype(np.float64) - b.astype(np.float64))[mask_bin]
+        mse = float((d ** 2).mean())
+        return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    def test_crop_fill_within_scale_sensitivity_band(self, monkeypatch):
+        import cv2
+        from manga_image_translator_tpu.inpainting.inpainting_lama import (
+            LamaMPEInpainter)
+
+        monkeypatch.setenv('MIT_TPU_ALLOW_RANDOM_WEIGHTS', '1')
+        monkeypatch.setenv('MIT_TPU_MESH', '0')
+
+        rs = np.random.RandomState(5)
+        page = 384
+        y, x = np.mgrid[0:page, 0:page].astype(np.float32) / page
+        img = np.stack([120 + 80 * x, 100 + 60 * y, 140 + 50 * (x + y) / 2],
+                       axis=-1)
+        blobs = np.zeros((page, page, 3), np.float32)
+        for _ in range(6):
+            cv2.circle(blobs, tuple(rs.randint(0, page, 2)),
+                       rs.randint(20, 80), rs.randint(0, 255, 3).tolist(),
+                       -1)
+        img = np.clip(0.6 * img + 0.4 * cv2.GaussianBlur(blobs, (31, 31), 0),
+                      0, 255).astype(np.uint8)
+        mask = np.zeros((page, page), np.uint8)
+        for _ in range(4):
+            mx, my = rs.randint(0, page - 90), rs.randint(0, page - 24)
+            mask[my:my + 14, mx:mx + 80] = 255
+        mask_bin = mask >= 127
+
+        inp = LamaMPEInpainter()
+        asyncio.run(inp.load('cpu'))
+        cfg = InpainterConfig()
+        full = asyncio.run(inp._infer(img, mask, cfg, 320))
+        full_small = asyncio.run(inp._infer(img, mask, cfg, 256))
+        crop = inp._inpaint_crops_multi([img], [mask], cfg, 320)[0]
+        assert crop is not None, 'plan unexpectedly fell back'
+        np.testing.assert_array_equal(crop[~mask_bin], img[~mask_bin])
+
+        band = self._psnr_inside(full, full_small, mask_bin)
+        got = self._psnr_inside(full, crop, mask_bin)
+        # 1 dB slack below the model's own scale-sensitivity band
+        assert got >= band - 1.0, (got, band)
