@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Measure the FULL DPM-Solver++(2M) SD inpaint program at 1024px on the
+real chip (VERDICT r4 #9: the r3 25.7 s/page figure was 50-step DDIM
+arithmetic; this times the shipped 15-step sampler end-to-end —
+vae_encode + 15x2 guided UNet forwards + vae_decode in one jit).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.expanduser('~'), '.cache',
+                               'mit-tpu-jax-bench-cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from manga_image_translator_tpu.inpainting.inpainting_sd import (
+    _dpmpp_inpaint)
+from manga_image_translator_tpu.models import sd
+
+
+def main():
+    cfg = sd.SDConfig()
+    params = sd.init_params(cfg, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(1, 1024, 1024, 3).astype(np.float32) * 2 - 1)
+    mask64 = jnp.asarray(
+        (rs.rand(1, 128, 128, 1) < 0.2).astype(np.float32))
+
+    t0 = time.perf_counter()
+    init_latent = sd.vae_encode(params, img,
+                                jax.random.PRNGKey(0), cfg)
+    init_latent.block_until_ready()
+    print(f'vae encode (incl. first compile): '
+          f'{time.perf_counter() - t0:.1f}s', flush=True)
+
+    cond = jnp.asarray(rs.randn(1, 77, 768).astype(np.float32),
+                       jnp.bfloat16)
+    uncond = jnp.asarray(rs.randn(1, 77, 768).astype(np.float32),
+                         jnp.bfloat16)
+    # masked-image conditioning channels: downsampled latent + mask
+    image_cdt = jnp.concatenate(
+        [mask64, init_latent], axis=-1).astype(init_latent.dtype)
+
+    def run():
+        out = _dpmpp_inpaint(params, init_latent, mask64, cond, uncond,
+                             image_cdt, jax.random.PRNGKey(1), cfg,
+                             steps=15, guidance=6.5)
+        return out.block_until_ready()
+
+    t0 = time.perf_counter()
+    run()
+    print(f'first call (compile + run): {time.perf_counter() - t0:.1f}s',
+          flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    print(f'dpmpp_2m 15-step 1024px inpaint: {min(ts):.2f}s/page '
+          f'(runs: {[round(t, 2) for t in ts]})', flush=True)
+
+
+if __name__ == '__main__':
+    main()
