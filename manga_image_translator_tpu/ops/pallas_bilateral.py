@@ -12,6 +12,7 @@ as BlockSpecs).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -175,9 +176,47 @@ def _kernel_skip(sw_ref, dy_ref, dx_ref, img_hbm, out_ref, scratch, sem,
     out_ref[...] = acc / jnp.maximum(norm, 1e-8)[None]
 
 
+# degree-5 least-squares fit of 2^f on [0, 1] (rel err ~3e-8): the 'poly'
+# fast-exp path computes exp(x) = 2^n * 2^f with the integer scale built by
+# exponent-field bit assembly — ~12 cheap VPU ops replacing the
+# transcendental. Coefficients are deterministic (np.polyfit at import).
+_EXP2_COEFFS = np.polyfit(np.linspace(0, 1, 512),
+                          np.exp2(np.linspace(0, 1, 512)), 5)
+_LOG2E = 1.4426950408889634
+
+
+def _fast_exp_mode() -> str:
+    """'off' (hardware exp) / 'poly' (bit-assembled exp2 approximation) /
+    'skip' (REPLACES exp with one multiply — WRONG results, timing bound
+    for probes only)."""
+    return os.environ.get('MIT_TPU_BILATERAL_EXP', 'off')
+
+
+def _exp_fast(x):
+    """exp(x) for x <= 0 via 2^n * poly(f); rel err ~3e-8."""
+    y = jnp.maximum(x * _LOG2E, -126.0)
+    n = jnp.floor(y)
+    f = y - n
+    p = jnp.float32(_EXP2_COEFFS[0])
+    for c in _EXP2_COEFFS[1:]:
+        p = p * f + jnp.float32(c)
+    scale = jax.lax.bitcast_convert_type(
+        (n.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return p * scale
+
+
+def _range_weight(cdiff, gauss_color: float, fast_exp: str):
+    if fast_exp == 'skip':
+        return 1.0 + gauss_color * cdiff * cdiff
+    if fast_exp == 'poly':
+        return _exp_fast(gauss_color * cdiff * cdiff)
+    return jnp.exp(gauss_color * cdiff * cdiff)
+
+
 def _kernel_fullhalo(sw_ref, ry_ref, rx_ref, img_hbm, out_ref, scratch, sem,
                      *, radius: int, tile_h: int, width: int,
-                     gauss_color: float, n_taps: int):
+                     gauss_color: float, n_taps: int,
+                     fast_exp: str = 'off'):
     """Full-halo channelwise accumulation (v5). The v4 kernel pays, per tap,
     three slice copies ([:tile_h, :width] of each rolled plane), one
     ``jnp.stack`` copy and a broadcast multiply — pure VMEM data movement,
@@ -214,7 +253,7 @@ def _kernel_fullhalo(sw_ref, ry_ref, rx_ref, img_hbm, out_ref, scratch, sem,
         p1 = pltpu.roll(pltpu.roll(c1, ry, 0), rx, 1)
         p2 = pltpu.roll(pltpu.roll(c2, ry, 0), rx, 1)
         cdiff = (jnp.abs(p0 - c0) + jnp.abs(p1 - c1) + jnp.abs(p2 - c2))
-        w = sw_ref[t] * jnp.exp(gauss_color * cdiff * cdiff)
+        w = sw_ref[t] * _range_weight(cdiff, gauss_color, fast_exp)
         return a0 + w * p0, a1 + w * p1, a2 + w * p2, norm + w
 
     z = jnp.zeros((halo_h, halo_w), jnp.float32)
@@ -304,7 +343,8 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
         rxs = (halo_w - (dxs - radius)) % halo_w
         kernel = functools.partial(
             _kernel_fullhalo, radius=radius, tile_h=tile_h, width=w,
-            gauss_color=gauss_color, n_taps=len(dys))
+            gauss_color=gauss_color, n_taps=len(dys),
+            fast_exp=_fast_exp_mode())
         prefetch = (jnp.asarray(sw_flat), jnp.asarray(rys, jnp.int32),
                     jnp.asarray(rxs, jnp.int32))
     else:

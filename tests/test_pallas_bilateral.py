@@ -50,3 +50,26 @@ def test_hoisted_kernel_matches_v1(variant):
         new = np.asarray(bilateral_filter_pallas(
             jnp.asarray(img), 9, 40.0, 40.0, variant=variant))
     np.testing.assert_array_equal(base, new)
+
+
+def test_fast_exp_poly_matches_exact(monkeypatch):
+    """MIT_TPU_BILATERAL_EXP=poly (bit-assembled 2^n * poly(f) exp
+    approximation, rel err ~3e-6) must round to the same uint8 output as
+    the hardware exp — at most 1 gray level anywhere."""
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 255, (96, 130, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        exact = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 9, 40.0, 40.0, variant='v5'))
+        monkeypatch.setenv('MIT_TPU_BILATERAL_EXP', 'poly')
+        bilateral_filter_pallas._clear_cache()
+        try:
+            poly = np.asarray(bilateral_filter_pallas(
+                jnp.asarray(img), 9, 40.0, 40.0, variant='v5'))
+        finally:
+            monkeypatch.delenv('MIT_TPU_BILATERAL_EXP')
+            bilateral_filter_pallas._clear_cache()
+    diff = np.abs(poly.astype(int) - exact.astype(int))
+    assert diff.max() <= 1
+    # and overwhelmingly byte-identical
+    assert (diff != 0).mean() < 1e-3
