@@ -26,7 +26,8 @@ import cv2
 import numpy as np
 from PIL import Image
 
-from .config import Colorizer, Config, Inpainter, Renderer, Translator
+from .config import (Colorizer, Config, Inpainter, Ocr as OcrEnum,
+                     Renderer, Translator)
 from .utils.generic import Context, dump_image, is_valuable_text, load_image
 from .utils.log import get_logger
 from .utils.sort import sort_regions, visualize_textblocks
@@ -454,9 +455,15 @@ class MangaTranslator:
         if self.verbose:
             os.environ['MANGA_OCR_RESULT_DIR'] = self._result_path('ocrs')
         try:
-            textlines = await ocr.dispatch(config.ocr.ocr, ctx.img_rgb,
-                                           ctx.textlines, config.ocr,
-                                           self.device, self.verbose)
+            if ctx.get('pre_ocred') is not None:
+                # pooled cross-page OCR pre-pass already recognized this
+                # page's lines (_batch_preocr)
+                textlines = ctx.pre_ocred
+                ctx.pre_ocred = None
+            else:
+                textlines = await ocr.dispatch(config.ocr.ocr, ctx.img_rgb,
+                                               ctx.textlines, config.ocr,
+                                               self.device, self.verbose)
         finally:
             if old_dir is not None:
                 os.environ['MANGA_OCR_RESULT_DIR'] = old_dir
@@ -711,6 +718,12 @@ class MangaTranslator:
         # ONE batched device forward — measured 2x per-page at 1536px.
         predetected = await self._batch_predetect(images_with_configs,
                                                   batch_size)
+        # Phase 0b: pooled cross-page OCR on the predetected lines — sparse
+        # pages' partial decode chunks collapse into shared full chunks
+        # (the decode loop is MXU row-tile-bound; see
+        # ocr/model_48px.infer_pooled).
+        preocred = await self._batch_preocr(images_with_configs,
+                                            predetected)
 
         # Phase 1: detection/OCR/merge for all pages, with an OOM-style
         # degradation ladder (reference :1527-1624: gc + retry, then
@@ -721,6 +734,8 @@ class MangaTranslator:
             ctx.result = None
             if predetected.get(page_idx) is not None:
                 ctx.predetected = predetected[page_idx]
+                if page_idx in preocred:
+                    ctx.pre_ocred = preocred[page_idx]
             try:
                 ctx = await self._translate_until_translation(config, ctx)
             except Exception as first_err:
@@ -912,6 +927,50 @@ class MangaTranslator:
                 except Exception:
                     logger.warning('batched detection failed; falling back '
                                    f'to per-page:\n{traceback.format_exc()}')
+        return out
+
+    async def _batch_preocr(self, images_with_configs, predetected):
+        """Pooled cross-page OCR pre-pass (TPU page-parallel path, no
+        reference equivalent): pages that share an identical 48px OCR
+        config pool their predetected textlines into shared decode chunks
+        (ocr/model_48px.infer_pooled). Returns {page_idx: textlines} for
+        pages recognized here; others fall through to per-page OCR.
+        Verbose runs keep the per-page path (debug crop dirs are
+        per-page)."""
+        from . import ocr as ocr_mod
+        if self.verbose:
+            return {}
+        groups: dict = {}
+        for idx, (image, config) in enumerate(images_with_configs):
+            pre = predetected.get(idx)
+            if pre is None or not pre[0]:
+                continue
+            if config.ocr.ocr != OcrEnum.ocr48px:
+                continue
+            groups.setdefault(config.ocr.model_dump_json(), []).append(idx)
+        out = {}
+        for _key, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            try:
+                o = ocr_mod.get_ocr(OcrEnum.ocr48px)
+                if not getattr(o, 'infer_pooled', None):
+                    continue
+                self._mark_used('ocr', OcrEnum.ocr48px)
+                await o.load(self.device)
+                imgs = []
+                for i in idxs:
+                    im = images_with_configs[i][0]
+                    imgs.append(im if isinstance(im, np.ndarray)
+                                else np.array(im.convert('RGB')))
+                results = await o.infer_pooled(
+                    imgs, [predetected[i][0] for i in idxs],
+                    images_with_configs[idxs[0]][1].ocr)
+                for i, res in zip(idxs, results):
+                    out[i] = res
+            except Exception:
+                logger.warning('pooled OCR failed; falling back to '
+                               f'per-page:\n{traceback.format_exc()}')
         return out
 
     async def _translate_until_translation(self, config: Config,

@@ -298,6 +298,90 @@ class Model48pxOCR(OfflineOCR):
             return out_regions
         return textlines
 
+    async def infer_pooled(self, images: List[np.ndarray],
+                           textlines_list: List[List[Quadrilateral]],
+                           config: OcrConfig, verbose: bool = False
+                           ) -> List[List[Quadrilateral]]:
+        """OCR several pages' textlines POOLED into shared decode chunks.
+
+        The decode loop's cost is MXU row-tile-bound (ceil(crops*5/128)),
+        so two sparse pages' partial chunks (e.g. 10 + 14 crops = two
+        16-crop graphs, ~36 ms each) collapse into ONE 24-crop chunk
+        (~34 ms) — near-2x on light pages; dense pages lose nothing. No
+        reference equivalent (the reference OCRs strictly per page) —
+        this is the SURVEY §2.15 inter-page batching applied to OCR.
+        Crops are host cv2 warps (the per-page separable device resampler
+        doesn't pool across source images)."""
+        threshold = 0.2 if config.prob is None else config.prob
+        entries = []          # (page_idx, quad, direction)
+        for pi, tls in enumerate(textlines_list):
+            for q, d in self._generate_text_direction(tls):
+                entries.append((pi, q, d))
+        out: List[List[Quadrilateral]] = [[] for _ in images]
+        if not entries:
+            return out
+        if not isinstance(entries[0][1], Quadrilateral):
+            # TextBlock inputs: keep the per-page path
+            for pi, tls in enumerate(textlines_list):
+                out[pi] = await self._infer(images[pi], tls, config,
+                                            verbose)
+            return out
+
+        region_imgs = [q.get_transformed_region(images[pi], d, TEXT_HEIGHT)
+                       for pi, q, d in entries]
+        widths_all = [r.shape[1] for r in region_imgs]
+        perm = sorted(range(len(entries)), key=lambda i: widths_all[i])
+        chunk_size = BIG_CHUNK if len(entries) > MAX_CHUNK else MAX_CHUNK
+
+        built = []
+        for indices in chunks(perm, chunk_size):
+            widths = [widths_all[i] for i in indices]
+            bw = bucket_width(max(widths))
+            valid_widths = np.zeros((chunk_size,), np.int32)
+            valid_widths[:len(indices)] = [min(w, bw) for w in widths]
+            batch = np.zeros((chunk_size, TEXT_HEIGHT, bw, 3), np.uint8)
+            for k, idx in enumerate(indices):
+                w = min(region_imgs[idx].shape[1], bw)
+                batch[k, :, :w, :] = region_imgs[idx][:, :w]
+            built.append((indices, jnp.asarray(batch, jnp.float32)
+                          / 127.5 - 1.0, jnp.asarray(valid_widths)))
+
+        pending = []
+        for indices, imgs_j, vw in built:
+            mem = ocr48.sharded_compute_memory(self.params, imgs_j, vw)
+            pending.append((indices, imgs_j, vw, mem,
+                            self._two_tier_dispatch(imgs_j, vw,
+                                                    memory=mem)))
+        for indices, imgs_j, vw, mem, fast_ret in pending:
+            ret = self._two_tier_finish(imgs_j, vw, fast_ret, memory=mem)
+            sequences = np.asarray(ret['sequences'])
+            probs = np.asarray(ret['probs'])
+            fg = np.asarray(ret['fg'], np.float32)
+            bg = np.asarray(ret['bg'], np.float32)
+            fg_ind = np.asarray(ret['fg_ind'], np.float32)
+            bg_ind = np.asarray(ret['bg_ind'], np.float32)
+            for k, idx in enumerate(indices):
+                prob = float(probs[k])
+                if prob < threshold:
+                    continue
+                txt, colors = self._decode_tokens(
+                    sequences[k], fg[k], bg[k], fg_ind[k], bg_ind[k])
+                if txt is None:
+                    continue
+                fr, fgc, fb, br, bgc, bb = colors
+                self.logger.info(
+                    f'prob: {prob} {txt} fg: ({fr}, {fgc}, {fb}) '
+                    f'bg: ({br}, {bgc}, {bb})')
+                pi, cur_region, _d = entries[idx]
+                cur_region.text = txt
+                cur_region.prob = prob
+                cur_region.fg_r, cur_region.fg_g, cur_region.fg_b = \
+                    fr, fgc, fb
+                cur_region.bg_r, cur_region.bg_g, cur_region.bg_b = \
+                    br, bgc, bb
+                out[pi].append(cur_region)
+        return out
+
     def _two_tier_decode(self, images, valid_widths):
         """Beam decode with a short first pass.
 

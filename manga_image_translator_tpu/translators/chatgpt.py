@@ -188,7 +188,8 @@ class OpenAITranslator(CommonTranslator):
             for key in _PROMPT_OVERWRITE_KEYS:
                 if key in cfg:
                     setattr(self, key, cfg[key])
-            for key in ('temperature', 'top_p', 'model'):
+            for key in ('temperature', 'top_p', 'model', 'fallback_model',
+                        'glossary_path'):
                 if key in cfg:
                     setattr(self, key, cfg[key])
 

@@ -241,3 +241,56 @@ class TestTwoTierDecode:
         # probs echo the widths the long pass saw: source rows, in order
         assert float(ret['probs'][5]) == widths[5]
         assert float(ret['probs'][9]) == widths[9]
+
+
+def test_infer_pooled_matches_per_page(monkeypatch):
+    """Pooled cross-page OCR (infer_pooled) must produce the same texts and
+    probs as per-page _infer (host crops, padded widths are masked so
+    chunk/bucket regrouping cannot change results)."""
+    from manga_image_translator_tpu.config import OcrConfig
+    from manga_image_translator_tpu.models import ocr48
+    from manga_image_translator_tpu.ocr import model_48px as mod
+    from manga_image_translator_tpu.utils.geometry import Quadrilateral
+
+    monkeypatch.setenv('MIT_TPU_MESH', '0')
+    monkeypatch.setenv('MIT_TPU_DEVICE_CROPS', '0')
+    monkeypatch.setattr(mod, 'MAX_CHUNK', 3)
+    monkeypatch.setattr(mod, 'BIG_CHUNK', 4)
+    monkeypatch.setattr(mod, 'MAX_SEQ_LEN', 8)
+    monkeypatch.setattr(mod, 'FAST_SEQ_LEN', 8)
+
+    m = mod.Model48pxOCR.__new__(mod.Model48pxOCR)
+    import logging
+    m.logger = logging.getLogger('test')
+    m.params = ocr48.fuse_qkv_params(ocr48.init_params(64))
+    m.dictionary = (['<PAD>', '<S>', '</S>', '<SP>']
+                    + [chr(97 + i) for i in range(60)])
+
+    rs = np.random.RandomState(13)
+    pages, tls = [], []
+    for p in range(2):
+        img = rs.randint(0, 255, (300, 400, 3), np.uint8)
+        quads = [Quadrilateral(np.array(
+            [[20, 10 + i * 60], [180 + 15 * i, 10 + i * 60],
+             [180 + 15 * i, 40 + i * 60], [20, 40 + i * 60]]), '', 1.0)
+            for i in range(3)]
+        pages.append(img)
+        tls.append(quads)
+
+    def clone():
+        return [[Quadrilateral(q.pts.copy(), '', 1.0) for q in page]
+                for page in tls]
+
+    ref_tls = clone()
+    ref = []
+    for img, quads in zip(pages, ref_tls):
+        got = asyncio.run(m._infer(img, quads, OcrConfig(prob=0.0)))
+        ref.append(sorted((r.text, round(float(r.prob), 5)) for r in got))
+
+    pooled_tls = clone()
+    pooled = asyncio.run(m.infer_pooled(pages, pooled_tls,
+                                        OcrConfig(prob=0.0)))
+    got = [sorted((r.text, round(float(r.prob), 5)) for r in page)
+           for page in pooled]
+    assert got == ref
+    assert all(len(p) > 0 for p in got)
