@@ -113,9 +113,13 @@ class MangaShare:
 
         async def simple_execute(request: web.Request):
             self.check_nonce(request)
-            self.check_lock()
+            # resolve the method and decode args BEFORE taking the lock: a
+            # 403/404/unpickle failure after acquisition would leak it and
+            # wedge the executor into permanent 429 (caught by
+            # tests/test_share.py::test_nonce_and_method_guards)
             method = self.get_fn(request.match_info['method_name'])
             attr = restricted_loads(await request.read())
+            self.check_lock()
             try:
                 if asyncio.iscoroutinefunction(method):
                     result = await method(**attr)
@@ -130,9 +134,9 @@ class MangaShare:
 
         async def execute(request: web.Request):
             self.check_nonce(request)
-            self.check_lock()
             method = self.get_fn(request.match_info['method_name'])
             attr = restricted_loads(await request.read())
+            self.check_lock()
             resp = web.StreamResponse()
             resp.content_type = 'application/octet-stream'
             await resp.prepare(request)
