@@ -33,8 +33,8 @@ def main():
         (rs.rand(1, 128, 128, 1) < 0.2).astype(np.float32))
 
     t0 = time.perf_counter()
-    init_latent = sd.vae_encode(params, img,
-                                jax.random.PRNGKey(0), cfg)
+    moments = sd.vae_encode_moments(params, img, cfg)
+    init_latent = sd.vae_sample(moments, jax.random.PRNGKey(0))
     init_latent.block_until_ready()
     print(f'vae encode (incl. first compile): '
           f'{time.perf_counter() - t0:.1f}s', flush=True)

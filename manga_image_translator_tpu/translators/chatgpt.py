@@ -237,6 +237,24 @@ class OpenAITranslator(CommonTranslator):
         return {k: v for k, v in glossary.items() if k in joined}
 
     # -- prompting ------------------------------------------------------------
+    def _chat_sample_for(self, to_lang: str):
+        """Resolve the configured few-shot sample for ``to_lang``: exact
+        language-code or language-name key, else a case-insensitive
+        substring match (the reference's closest-sample semantics)."""
+        sample = getattr(self, 'chat_sample', None)
+        if not isinstance(sample, dict):
+            return None
+        lang_name = VALID_LANGUAGES.get(to_lang, to_lang)
+        for key in (to_lang, lang_name):
+            if key in sample:
+                pair = sample[key]
+                return pair if len(pair) >= 2 else None
+        for key, pair in sample.items():
+            if (key.lower() in lang_name.lower()
+                    or lang_name.lower() in key.lower()):
+                return pair if len(pair) >= 2 else None
+        return None
+
     def _assemble_prompt(self, to_lang: str, queries: List[str]) -> str:
         lines = [f'<|{i + 1}|>{q}' for i, q in enumerate(queries)]
         return '\n'.join(lines)
@@ -309,6 +327,13 @@ class OpenAITranslator(CommonTranslator):
             system += '\nGlossary (use these translations):\n' + '\n'.join(
                 f'{k} -> {v}' for k, v in glossary.items())
         messages = [{'role': 'system', 'content': system}]
+        # few-shot sample pair for the target language (reference
+        # chatgpt.py:692-697 / config_gpt.py chat_sample: {lang: [user,
+        # assistant]}; exact key match, else a language-name substring)
+        sample = self._chat_sample_for(to_lang)
+        if sample:
+            messages.append({'role': 'user', 'content': sample[0]})
+            messages.append({'role': 'assistant', 'content': sample[1]})
         if self.prev_context:
             messages.append({'role': 'system',
                              'content': 'Previous page context:\n'

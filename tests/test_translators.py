@@ -242,3 +242,36 @@ def test_fallback_not_configured_raises(monkeypatch):
     import pytest
     with pytest.raises(RuntimeError):
         asyncio.run(t._translate('JPN', 'ENG', ['こんにちは']))
+
+
+def test_chat_sample_injection(monkeypatch):
+    """A configured chat_sample pair for the target language is injected
+    as a user/assistant few-shot exchange after the system prompt."""
+    import asyncio
+    from manga_image_translator_tpu.translators import chatgpt as cg
+    import logging
+
+    t = cg.OpenAITranslator.__new__(cg.OpenAITranslator)
+    t.logger = logging.getLogger('test')
+    t.api_key = 'k'
+    t.model = 'primary'
+    t.fallback_model = None
+    t.chat_system_template = cg._CHAT_SYSTEM_TEMPLATE
+    t.glossary_path = None
+    t._glossary = {}
+    t._glossary_is_regex = False
+    t.prev_context = ''
+    t.chat_sample = {'English': ['<|1|>こんにちは', '<|1|>Hello']}
+    seen = {}
+
+    async def fake_request(messages, model=None):
+        seen['messages'] = messages
+        return '<|1|>Hi'
+
+    monkeypatch.setattr(t, '_request', fake_request)
+    out = asyncio.run(t._translate('JPN', 'ENG', ['こんにちは']))
+    assert out == ['Hi']
+    roles = [m['role'] for m in seen['messages']]
+    assert roles == ['system', 'user', 'assistant', 'user']
+    assert seen['messages'][1]['content'] == '<|1|>こんにちは'
+    assert seen['messages'][2]['content'] == '<|1|>Hello'
