@@ -34,7 +34,8 @@ def main():
 
     t0 = time.perf_counter()
     moments = sd.vae_encode_moments(params, img, cfg)
-    init_latent = sd.vae_sample(moments, jax.random.PRNGKey(0))
+    init_latent = sd.vae_sample(moments, jax.random.PRNGKey(0),
+                                cfg.scale_factor)
     init_latent.block_until_ready()
     print(f'vae encode (incl. first compile): '
           f'{time.perf_counter() - t0:.1f}s', flush=True)
