@@ -36,6 +36,47 @@ from .utils.log import init_logging
 PROFILE_DIR = os.path.expanduser('~/.config/manga-image-translator-tpu')
 
 
+def set_nested(cfg: dict, key: str, value: str):
+    """Set a dotted ``key`` in a config dict to ``value`` (JSON-parsed when
+    possible), validating the result against :class:`Config`. Returns
+    ``None`` on success; on a validation error the change is rolled back
+    and the error string is returned. Shared by the terminal studio and
+    the GUI (studio_gui.py)."""
+    keys = key.split('.')
+    node = cfg
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    try:
+        value = json.loads(value) if isinstance(value, str) else value
+    except ValueError:
+        pass
+    old = node.get(keys[-1], ...)
+    node[keys[-1]] = value
+    try:
+        Config(**cfg)
+        return None
+    except Exception as e:
+        if old is ...:
+            del node[keys[-1]]
+        else:
+            node[keys[-1]] = old
+        return str(e)
+
+
+def unset_nested(cfg: dict, key: str) -> bool:
+    """Remove a dotted ``key`` override; returns whether it was set."""
+    keys = key.split('.')
+    node = cfg
+    for k in keys[:-1]:
+        node = node.get(k, {})
+        if not isinstance(node, dict):
+            return False
+    if keys[-1] in node:
+        del node[keys[-1]]
+        return True
+    return False
+
+
 class Studio(cmd.Cmd):
     intro = ('manga-image-translator TPU studio. '
              "Type 'help' for commands.\n")
@@ -99,36 +140,15 @@ class Studio(cmd.Cmd):
                 star = '*' if name == self.active_profile else ' '
                 print(f'{star} {name}')
         elif parts[0] == 'set' and len(parts) >= 3:
-            cfg = self.profiles[self.active_profile]
-            keys = parts[1].split('.')
-            node = cfg
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            value = ' '.join(parts[2:])
-            try:
-                value = json.loads(value)
-            except ValueError:
-                pass
-            old = node.get(keys[-1], ...)
-            node[keys[-1]] = value
-            try:  # validate eagerly
-                Config(**cfg)
+            err = set_nested(self.profiles[self.active_profile], parts[1],
+                             ' '.join(parts[2:]))
+            if err is None:
                 self._save_profiles()
                 print('ok')
-            except Exception as e:
-                print(f'invalid: {e}')
-                if old is ...:
-                    del node[keys[-1]]
-                else:
-                    node[keys[-1]] = old
+            else:
+                print(f'invalid: {err}')
         elif parts[0] == 'unset' and len(parts) == 2:
-            cfg = self.profiles[self.active_profile]
-            node = cfg
-            keys = parts[1].split('.')
-            for k in keys[:-1]:
-                node = node.get(k, {})
-            if keys[-1] in node:
-                del node[keys[-1]]
+            if unset_nested(self.profiles[self.active_profile], parts[1]):
                 self._save_profiles()
                 print('ok')
             else:
@@ -158,21 +178,54 @@ class Studio(cmd.Cmd):
 
     # -- queue -------------------------------------------------------------
 
+    def add_job(self, path: str):
+        """Queue one path with a SNAPSHOT of the active profile. Returns
+        the new job dict, or None when the path does not exist."""
+        if not os.path.exists(path):
+            return None
+        job = {
+            'path': path,
+            'profile': self.active_profile,
+            'config': copy.deepcopy(self.profiles[self.active_profile]),
+            'status': 'pending',
+        }
+        self.queue.append(job)
+        return job
+
+    def move_job(self, src: int, dst: int):
+        job = self.queue.pop(src)
+        self.queue.insert(dst, job)
+        self._save_queue()
+
+    def remove_jobs(self, idxs):
+        removed = []
+        for i in sorted({int(x) for x in idxs}, reverse=True):
+            removed.append(self.queue.pop(i))
+        self._save_queue()
+        return removed
+
+    def retry_failed(self) -> int:
+        n = 0
+        for job in self.queue:
+            if job['status'] == 'failed':
+                job['status'] = 'pending'
+                job.pop('error', None)
+                n += 1
+        self._save_queue()
+        return n
+
+    def clear_finished(self):
+        self.queue = [j for j in self.queue if j['status'] == 'pending']
+        self._save_queue()
+
     def do_add(self, arg):
         """add <path> [path...] -- queue image files or folders with a
         SNAPSHOT of the active profile (later edits don't change the job)"""
         for path in arg.split():
-            if not os.path.exists(path):
+            if self.add_job(path) is None:
                 print(f'no such path: {path}')
-                continue
-            self.queue.append({
-                'path': path,
-                'profile': self.active_profile,
-                'config': copy.deepcopy(
-                    self.profiles[self.active_profile]),
-                'status': 'pending',
-            })
-            print(f'queued {path} ({self.active_profile})')
+            else:
+                print(f'queued {path} ({self.active_profile})')
         self._save_queue()
 
     def do_queue(self, arg):
@@ -189,9 +242,7 @@ class Studio(cmd.Cmd):
         """move <from> <to> -- reorder a pending job"""
         try:
             src, dst = (int(x) for x in arg.split())
-            job = self.queue.pop(src)
-            self.queue.insert(dst, job)
-            self._save_queue()
+            self.move_job(src, dst)
             self.do_queue('')
         except (ValueError, IndexError):
             print('usage: move <from-index> <to-index>')
@@ -199,29 +250,18 @@ class Studio(cmd.Cmd):
     def do_remove(self, arg):
         """remove <index> [index...] -- drop jobs from the queue"""
         try:
-            idxs = sorted({int(x) for x in arg.split()}, reverse=True)
-            for i in idxs:
-                job = self.queue.pop(i)
+            for job in self.remove_jobs(arg.split()):
                 print(f'removed {job["path"]}')
-            self._save_queue()
         except (ValueError, IndexError):
             print('usage: remove <index> [index...]')
 
     def do_retry(self, arg):
         """retry -- mark failed jobs pending again"""
-        n = 0
-        for job in self.queue:
-            if job['status'] == 'failed':
-                job['status'] = 'pending'
-                job.pop('error', None)
-                n += 1
-        self._save_queue()
-        print(f'{n} job(s) reset')
+        print(f'{self.retry_failed()} job(s) reset')
 
     def do_clear(self, arg):
         """clear -- drop finished/failed jobs (pending jobs stay)"""
-        self.queue = [j for j in self.queue if j['status'] == 'pending']
-        self._save_queue()
+        self.clear_finished()
 
     def do_dest(self, arg):
         """dest [folder] -- show or set the output folder"""
@@ -251,34 +291,14 @@ class Studio(cmd.Cmd):
             print(json.dumps(cfg, indent=2))
             return
         if parts[1] == 'set' and len(parts) >= 4:
-            keys = parts[2].split('.')
-            node = cfg
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            value = ' '.join(parts[3:])
-            try:
-                value = json.loads(value)
-            except ValueError:
-                pass
-            old = node.get(keys[-1], ...)
-            node[keys[-1]] = value
-            try:
-                Config(**cfg)
+            err = set_nested(cfg, parts[2], ' '.join(parts[3:]))
+            if err is None:
                 self._save_queue()
                 print('ok')
-            except Exception as e:
-                print(f'invalid: {e}')
-                if old is ...:
-                    del node[keys[-1]]
-                else:
-                    node[keys[-1]] = old
+            else:
+                print(f'invalid: {err}')
         elif parts[1] == 'unset' and len(parts) == 3:
-            keys = parts[2].split('.')
-            node = cfg
-            for k in keys[:-1]:
-                node = node.get(k, {})
-            if keys[-1] in node:
-                del node[keys[-1]]
+            if unset_nested(cfg, parts[2]):
                 self._save_queue()
                 print('ok')
             else:
@@ -329,7 +349,11 @@ class Studio(cmd.Cmd):
             print('\npaused — pending jobs kept; type run to resume')
         self._save_queue()
 
-    async def _run_jobs(self, jobs: List[Dict]):
+    async def _run_jobs(self, jobs: List[Dict], should_stop=None,
+                        on_state=None):
+        """Process ``jobs`` sequentially. ``should_stop()`` is polled
+        between jobs (GUI Stop button — Ctrl-C covers the terminal);
+        ``on_state(state_str)`` overrides the default progress print."""
         translator = MangaTranslatorLocal({'ignore_errors': True})
         current: List[Dict] = [None]
 
@@ -341,10 +365,15 @@ class Studio(cmd.Cmd):
                 if current[0] is not None:
                     current[0].setdefault('stage_ms', {})[name] = float(ms)
                 return
-            print(f'  [{state}]', flush=True)
+            if on_state is not None:
+                on_state(state)
+            else:
+                print(f'  [{state}]', flush=True)
 
         translator.add_progress_hook(hook)
         for job in jobs:
+            if should_stop is not None and should_stop():
+                break
             current[0] = job
             job.pop('stage_ms', None)
             job['status'] = 'running'
