@@ -52,7 +52,10 @@ def main():
         out = _dpmpp_inpaint(params, init_latent, mask64, cond, uncond,
                              image_cdt, jax.random.PRNGKey(1), cfg,
                              steps=15, guidance=6.5)
-        return out.block_until_ready()
+        # force a device->host scalar: on the axon tunnel
+        # block_until_ready() returns without an RPC (measured 0.00 s for a
+        # 15-step UNet loop), so only a transfer proves execution finished
+        return float(out.sum())
 
     t0 = time.perf_counter()
     run()
