@@ -134,10 +134,11 @@ def bench_detection():
         return prob.sum() + mask.astype(jnp.float32).sum()
 
     t_dev = _timed_onchip(run, pages) / n_batch
-    # batched lane: 8-page chunks (like the pooled inpaint crops) — DBNet
-    # amortizes ~1.5 ms/page going 4 -> 8 (dbnet_deconv_ab r4)
-    pages8 = jnp.concatenate([pages, pages], axis=0)
-    t_dev8 = _timed_onchip(run, pages8) / (2 * n_batch)
+    # batched lane: 16-page chunks (the production _batch_predetect
+    # MIT_TPU_DET_CHUNK default) — DBNet amortizes 12.1 -> 9.1 ms/page
+    # going batch 8 -> 16 (det_misc_ab r5)
+    pages16 = jnp.concatenate([pages] * 4, axis=0)
+    t_dev8 = _timed_onchip(run, pages16) / (4 * n_batch)
 
     # host postprocess on a realistic synthetic prob map (~25 textlines)
     prob_np = np.zeros((PAGE, PAGE), np.float32)

@@ -52,21 +52,21 @@ def main():
     img = jnp.asarray(rs.randint(0, 255, (S, S, 3), np.uint8))
 
     outs = {}
-    for v in ('v1', 'v2', 'v3', 'v4', 'v5', 'v5w', 'v5m'):
+    for v in ('v1', 'v2', 'v3', 'v4', 'v5', 'v5w', 'v5m', 'v6'):
         try:
             outs[v] = np.asarray(
                 bilateral_filter_pallas(img, 17, 80.0, 80.0, variant=v))
         except Exception as e:  # noqa: BLE001 - record and move on
             print(f'{v}: FAILED to compile/run: '
                   f'{str(e.__class__.__name__)}', flush=True)
-    for v in ('v2', 'v3', 'v4', 'v5', 'v5w', 'v5m'):
+    for v in ('v2', 'v3', 'v4', 'v5', 'v5w', 'v5m', 'v6'):
         if v not in outs:
             continue
         eq = np.array_equal(outs['v1'], outs[v])
         mx = int(np.abs(outs['v1'].astype(int) - outs[v].astype(int)).max())
         print(f'{v} == v1: {eq} (max abs diff {mx})', flush=True)
 
-    for v in ('v4', 'v5', 'v5m'):
+    for v in ('v5', 'v6', 'v5', 'v6'):
         if v not in outs:
             continue
         @jax.jit

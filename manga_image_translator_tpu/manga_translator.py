@@ -895,8 +895,13 @@ class MangaTranslator:
             # serializing between device stages
             pending = None
             has_dispatch = hasattr(detector, 'infer_batch_dispatch')
-            for start in range(0, len(indices), batch_size):
-                chunk = indices[start:start + batch_size]
+            # detection chunk size is a device-efficiency knob independent
+            # of the translation batch: DBNet measures 9.1 ms/page at
+            # batch 16 vs 12.1 at batch 8 on v5e (det_misc_ab, r5)
+            det_chunk = max(batch_size,
+                            int(os.environ.get('MIT_TPU_DET_CHUNK', '16')))
+            for start in range(0, len(indices), det_chunk):
+                chunk = indices[start:start + det_chunk]
                 imgs = []
                 for i in chunk:
                     image = images_with_configs[i][0]

@@ -269,6 +269,92 @@ def _kernel_fullhalo(sw_ref, ry_ref, rx_ref, img_hbm, out_ref, scratch, sem,
         out_ref[c] = r[:tile_h, :width]
 
 
+def _kernel_paired(sw_ref, rpy_ref, rpx_ref, rmy_ref, rmx_ref,
+                   img_hbm, out_ref, scratch, sem,
+                   *, radius: int, tile_h: int, width: int,
+                   gauss_color: float, n_pairs: int,
+                   fast_exp: str = 'off'):
+    """Symmetric-pair weight sharing (v6). The bilateral weight is symmetric
+    in its two pixels: w(p, p+o) = space(o) * range(|I(p) - I(p+o)|) =
+    w(p+o, p). So the taps at offsets +o and -o share ONE weight plane —
+    W_{-o}(p) = W_{+o}(p-o) is just a roll of W_{+o}. One iteration handles
+    a pair: compute W once (one cdiff reduction + one exp instead of two),
+    accumulate the +o contribution from the already-shifted planes and the
+    -o contribution from the opposite shift with the rolled weight plane.
+    Per pair vs two v5 taps: cdiff ALU halves (8 ops vs 16), exp halves,
+    rolls grow 12 -> 14 (the W roll) — a net win iff the kernel is
+    ALU-bound, which the r5 exp A/B indicated (rolls+FMA volume dominate,
+    per-tap copies already gone in v5).
+
+    Validity: for the kept region (rows [r, r+tile), cols [r, r+w) of the
+    scratch halo) every read lands in-bounds — W at p-o needs I(p-o) and
+    I(p), both within the halo for |o| <= radius — so the wraparound
+    garbage all lands in the discarded halo ring exactly as in v5. The
+    center tap (o=0, weight exactly 1.0) seeds the accumulators. f32 sums
+    associate differently than v5's flat tap order, so the result is
+    float-close, not bit-equal (<= 1 uint8 gray level after rounding).
+
+    Prefetched scalars: per-pair space weights sw_ref, +o roll amounts
+    rpy/rpx, -o roll amounts rmy/rmx (also the W-plane roll)."""
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * radius), :],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    c0 = scratch[0]
+    c1 = scratch[1]
+    c2 = scratch[2]
+
+    def pair(t, carry):
+        a0, a1, a2, norm = carry
+        rpy = rpy_ref[t]
+        rpx = rpx_ref[t]
+        q0 = pltpu.roll(pltpu.roll(c0, rpy, 0), rpx, 1)
+        q1 = pltpu.roll(pltpu.roll(c1, rpy, 0), rpx, 1)
+        q2 = pltpu.roll(pltpu.roll(c2, rpy, 0), rpx, 1)
+        cdiff = (jnp.abs(q0 - c0) + jnp.abs(q1 - c1) + jnp.abs(q2 - c2))
+        wp = sw_ref[t] * _range_weight(cdiff, gauss_color, fast_exp)
+        rmy = rmy_ref[t]
+        rmx = rmx_ref[t]
+        m0 = pltpu.roll(pltpu.roll(c0, rmy, 0), rmx, 1)
+        m1 = pltpu.roll(pltpu.roll(c1, rmy, 0), rmx, 1)
+        m2 = pltpu.roll(pltpu.roll(c2, rmy, 0), rmx, 1)
+        wm = pltpu.roll(pltpu.roll(wp, rmy, 0), rmx, 1)
+        return (a0 + wp * q0 + wm * m0,
+                a1 + wp * q1 + wm * m1,
+                a2 + wp * q2 + wm * m2,
+                norm + wp + wm)
+
+    # center tap: space and range weights are both exactly 1
+    one = jnp.ones_like(c0)
+    a0, a1, a2, norm = jax.lax.fori_loop(
+        0, n_pairs, pair, (c0 * 1.0, c1 * 1.0, c2 * 1.0, one))
+    halo_h = tile_h + 2 * radius
+    halo_w = scratch.shape[2]
+    norm = jnp.maximum(norm, 1e-8)
+    for c, acc in enumerate((a0, a1, a2)):
+        r = acc / norm
+        r = pltpu.roll(r, (halo_h - radius) % halo_h, 0)
+        r = pltpu.roll(r, (halo_w - radius) % halo_w, 1)
+        out_ref[c] = r[:tile_h, :width]
+
+
+def _valid_pairs(radius: int) -> tuple:
+    """(dy, dx) offset lists (actual offsets, not table indices) of one
+    representative per symmetric pair of the cv2 circular window: dy > 0,
+    or dy == 0 and dx > 0. The center (0, 0) is handled separately."""
+    dys, dxs = [], []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy * dy + dx * dx <= radius * radius and (
+                    dy > 0 or (dy == 0 and dx > 0)):
+                dys.append(dy)
+                dxs.append(dx)
+    return np.asarray(dys, np.int32), np.asarray(dxs, np.int32)
+
+
 def _valid_taps(radius: int) -> tuple:
     """(dy, dx) index lists (0-based into the (2r+1)² table) of the cv2
     circular window (d² <= r²)."""
@@ -292,9 +378,15 @@ def _variant() -> str:
     slice/stack copies): MEASURED 7.96 vs v4 10.30 vs v1 14.74 ms @1536²
     on v5e (r4, bilateral_variant_ab) — DEFAULT;
     'v5w'/'v5m' — v5 at 128/96-row tiles (smaller halo ring): v5w fails
-    to compile (VMEM overflow, JaxRuntimeError, recorded r4)."""
+    to compile (VMEM overflow, JaxRuntimeError, recorded r4);
+    'v6' — symmetric-pair weight sharing on top of v5 (one cdiff+exp per
+    tap PAIR; <=1 gray level vs v1 from f32 reassociation, not bit-equal):
+    MEASURED 7.96/8.03 vs v5 9.15/9.03 ms @1536² (r5, interleaved) — 12%
+    off; detection boxes on the r5 probe pages deviate LESS than the v5
+    path's own sensitivity to a uniform +1-gray input dither
+    (det_box_parity_v6.py calibration) — DEFAULT."""
     import os
-    return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v5')
+    return os.environ.get('MIT_TPU_BILATERAL_KERNEL', 'v6')
 
 
 @functools.partial(jax.jit,
@@ -335,6 +427,22 @@ def bilateral_filter_pallas(img: jax.Array, d: int = 17,
             gauss_color=gauss_color, n_taps=len(dys))
         prefetch = (jnp.asarray(space_w), jnp.asarray(dys),
                     jnp.asarray(dxs))
+    elif variant == 'v6':
+        dys, dxs = _valid_pairs(radius)
+        halo_h = tile_h + 2 * radius
+        sw_flat = space_w[dys + radius, dxs + radius]
+        rpys = (halo_h - dys) % halo_h       # out[s] = c[s + dy]
+        rpxs = (halo_w - dxs) % halo_w
+        rmys = dys % halo_h                  # out[s] = c[s - dy]
+        rmxs = dxs % halo_w
+        kernel = functools.partial(
+            _kernel_paired, radius=radius, tile_h=tile_h, width=w,
+            gauss_color=gauss_color, n_pairs=len(dys),
+            fast_exp=_fast_exp_mode())
+        prefetch = (jnp.asarray(sw_flat), jnp.asarray(rpys, jnp.int32),
+                    jnp.asarray(rpxs, jnp.int32),
+                    jnp.asarray(rmys, jnp.int32),
+                    jnp.asarray(rmxs, jnp.int32))
     elif variant in ('v5', 'v5w', 'v5m'):
         dys, dxs = _valid_taps(radius)
         halo_h = tile_h + 2 * radius

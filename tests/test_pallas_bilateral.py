@@ -73,3 +73,34 @@ def test_fast_exp_poly_matches_exact(monkeypatch):
     assert diff.max() <= 1
     # and overwhelmingly byte-identical
     assert (diff != 0).mean() < 1e-3
+
+
+def test_paired_kernel_matches_v1_within_rounding():
+    """v6 (symmetric-pair weight sharing) computes the same weighted sums
+    with a different f32 association order — after uint8 rounding it may
+    differ from v1 by at most 1 gray level, and must match cv2 as closely
+    as v1 does."""
+    rs = np.random.RandomState(4)
+    img = rs.randint(0, 255, (72, 100, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 9, 40.0, 40.0, variant='v1'))
+        new = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 9, 40.0, 40.0, variant='v6'))
+    assert np.abs(base.astype(int) - new.astype(int)).max() <= 1
+    ref = cv2.bilateralFilter(img, 9, 40, 40)
+    diff = np.abs(new[5:-5, 5:-5].astype(int) - ref[5:-5, 5:-5].astype(int))
+    assert diff.max() <= 1
+
+
+def test_paired_kernel_even_radius_production_shape():
+    """v6 at the production d=17 window (radius 8) on a non-128-multiple
+    width, vs v1."""
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 255, (70, 150, 3), np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 17, 80.0, 80.0, variant='v1'))
+        new = np.asarray(bilateral_filter_pallas(
+            jnp.asarray(img), 17, 80.0, 80.0, variant='v6'))
+    assert np.abs(base.astype(int) - new.astype(int)).max() <= 1
