@@ -134,11 +134,11 @@ def bench_detection():
         return prob.sum() + mask.astype(jnp.float32).sum()
 
     t_dev = _timed_onchip(run, pages) / n_batch
-    # batched lane: 16-page chunks (the production _batch_predetect
-    # MIT_TPU_DET_CHUNK default) — DBNet amortizes 12.1 -> 9.1 ms/page
-    # going batch 8 -> 16 (det_misc_ab r5)
-    pages16 = jnp.concatenate([pages] * 4, axis=0)
-    t_dev8 = _timed_onchip(run, pages16) / (4 * n_batch)
+    # batched lane: 32-page chunks (the production _batch_predetect
+    # MIT_TPU_DET_CHUNK default at <=1536px) — DBNet amortizes 12.2 ->
+    # 9.1 -> 8.2 ms/page going batch 8 -> 16 -> 32 (det_misc_ab r5)
+    pages32 = jnp.concatenate([pages] * 8, axis=0)
+    t_dev8 = _timed_onchip(run, pages32) / (8 * n_batch)
 
     # host postprocess on a realistic synthetic prob map (~25 textlines)
     prob_np = np.zeros((PAGE, PAGE), np.float32)

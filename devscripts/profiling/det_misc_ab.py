@@ -90,7 +90,7 @@ def main():
         return (jax.nn.sigmoid(db[..., 0].astype(jnp.float32)).sum()
                 + mask.astype(jnp.float32).sum())
 
-    for nb in (8, 16):
+    for nb in (16, 24, 32):
         pages = jnp.asarray(
             rs.randint(0, 255, (nb, 1536, 1536, 3), dtype=np.uint8))
         try:

@@ -896,10 +896,15 @@ class MangaTranslator:
             pending = None
             has_dispatch = hasattr(detector, 'infer_batch_dispatch')
             # detection chunk size is a device-efficiency knob independent
-            # of the translation batch: DBNet measures 9.1 ms/page at
-            # batch 16 vs 12.1 at batch 8 on v5e (det_misc_ab, r5)
+            # of the translation batch: DBNet measures 12.2 ms/page at
+            # batch 8, 9.1-10.1 at 16, 7.9-8.6 at 32 on v5e across two
+            # det_misc_ab runs (r5; tunnel variance ~10%).
+            # 32-page chunks at 2048px push HBM, so the default backs off
+            # to 16 above 1536.
+            default_chunk = 32 if key[1] <= 1536 else 16
             det_chunk = max(batch_size,
-                            int(os.environ.get('MIT_TPU_DET_CHUNK', '16')))
+                            int(os.environ.get('MIT_TPU_DET_CHUNK',
+                                               str(default_chunk))))
             for start in range(0, len(indices), det_chunk):
                 chunk = indices[start:start + det_chunk]
                 imgs = []

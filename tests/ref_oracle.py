@@ -117,6 +117,132 @@ def _build_torchvision():
     return tv, models
 
 
+def _build_timm():
+    """Functional mini-`timm.layers` (timm is not in this image): ONLY the
+    symbols `detection/dbnet_convnext.py` imports, with timm's exact
+    semantics for the configurations that model instantiates (channels-last
+    LayerNorm eps=1e-6, Linear Mlp with fc1/fc2 naming, depthwise
+    create_conv2d with symmetric '' padding). Stubbing these (like the rest
+    of _STUB_PREFIXES) would break real compute, and the whole point of the
+    dbconvnext oracle is real compute."""
+    import collections.abc
+    import importlib.machinery
+    from functools import partial
+    from itertools import repeat
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class LayerNorm(nn.LayerNorm):
+        def __init__(self, num_channels, eps=1e-6, affine=True):
+            super().__init__(num_channels, eps=eps,
+                             elementwise_affine=affine)
+
+    class LayerNorm2d(nn.LayerNorm):
+        def __init__(self, num_channels, eps=1e-6, affine=True):
+            super().__init__(num_channels, eps=eps,
+                             elementwise_affine=affine)
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)
+            x = F.layer_norm(x, self.normalized_shape, self.weight,
+                             self.bias, self.eps)
+            return x.permute(0, 3, 1, 2)
+
+    def to_ntuple(n):
+        def parse(x):
+            if isinstance(x, collections.abc.Iterable) \
+                    and not isinstance(x, str):
+                return tuple(x)
+            return tuple(repeat(x, n))
+        return parse
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, norm_layer=None,
+                     bias=True, drop=0., use_conv=False):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            bias = to_ntuple(2)(bias)
+            linear = partial(nn.Conv2d, kernel_size=1) if use_conv \
+                else nn.Linear
+            self.fc1 = linear(in_features, hidden_features, bias=bias[0])
+            self.act = act_layer()
+            self.drop1 = nn.Dropout(drop)
+            self.norm = norm_layer(hidden_features) \
+                if norm_layer is not None else nn.Identity()
+            self.fc2 = linear(hidden_features, out_features, bias=bias[1])
+            self.drop2 = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.norm(
+                self.drop1(self.act(self.fc1(x))))))
+
+    class GlobalResponseNormMlp(nn.Module):
+        def __init__(self, *a, **k):
+            raise NotImplementedError('use_grn is never set by the '
+                                      'reference dbnet_convnext model')
+
+    def get_padding(kernel_size, stride=1, dilation=1):
+        return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+    def create_conv2d(in_chs, out_chs, kernel_size, **kwargs):
+        depthwise = kwargs.pop('depthwise', False)
+        groups = in_chs if depthwise else kwargs.pop('groups', 1)
+        padding = kwargs.pop('padding', '')
+        stride = kwargs.get('stride', 1)
+        dilation = kwargs.get('dilation', 1)
+        if isinstance(padding, str):
+            # '' and static-'same' both resolve to symmetric padding for
+            # the odd-k / stride-1 shapes this model uses
+            padding = get_padding(kernel_size, stride, dilation)
+        return nn.Conv2d(in_chs, out_chs, kernel_size, padding=padding,
+                         groups=groups, **kwargs)
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0., scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):  # eval-mode identity; never used with p>0
+            return x
+
+    class AvgPool2dSame(nn.AvgPool2d):
+        pass
+
+    def make_divisible(v, divisor=8, min_value=None, round_limit=.9):
+        min_value = min_value or divisor
+        new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+        if new_v < round_limit * v:
+            new_v += divisor
+        return new_v
+
+    def get_act_layer(name):
+        if callable(name):
+            return name
+        return {'gelu': nn.GELU, 'relu': nn.ReLU,
+                'silu': nn.SiLU}[name]
+
+    timm = types.ModuleType('timm')
+    layers = types.ModuleType('timm.layers')
+    for k, v in (('trunc_normal_', torch.nn.init.trunc_normal_),
+                 ('AvgPool2dSame', AvgPool2dSame), ('DropPath', DropPath),
+                 ('Mlp', Mlp),
+                 ('GlobalResponseNormMlp', GlobalResponseNormMlp),
+                 ('LayerNorm2d', LayerNorm2d), ('LayerNorm', LayerNorm),
+                 ('create_conv2d', create_conv2d),
+                 ('get_act_layer', get_act_layer),
+                 ('make_divisible', make_divisible),
+                 ('to_ntuple', to_ntuple)):
+        setattr(layers, k, v)
+    timm.layers = layers
+    timm.__spec__ = importlib.machinery.ModuleSpec('timm', None)
+    layers.__spec__ = importlib.machinery.ModuleSpec('timm.layers', None)
+    return timm, layers
+
+
 def _stub_module(name):
     """Module whose every attribute is a do-nothing class (usable as a base
     class or a callable). Acts as a package so arbitrary submodules under it
@@ -191,6 +317,10 @@ def install():
         tv, models = _build_torchvision()
         sys.modules['torchvision'] = tv
         sys.modules['torchvision.models'] = models
+    if 'timm' not in sys.modules:
+        timm, layers = _build_timm()
+        sys.modules['timm'] = timm
+        sys.modules['timm.layers'] = layers
 
     sys.meta_path.insert(0, _StubFinder())
     _pkg('reforacle', REF_ROOT)

@@ -655,3 +655,43 @@ def test_sd_clip_full_model():
         params, jnp.asarray(toks))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(),
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# DBNet-ConvNeXt (dbconvnext detector) — the reference ships NO checkpoint
+# for this arch (empty URL, reference detection/dbnet_convnext.py:513-517),
+# so this oracle is the only possible end-to-end verification: seeded torch
+# weights through the converter vs the reference forward (timm.layers is
+# shimmed functionally in ref_oracle._build_timm).
+# ---------------------------------------------------------------------------
+
+def test_dbnet_convnext_full_model():
+    import jax
+    from manga_image_translator_tpu.models import dbnet_convnext
+
+    mod = ref_oracle.load('detection.dbnet_convnext')
+    seed_everything(4)
+    net = mod.DBNetConvNext().eval()
+    # perturb LN affine + layer-scale gammas so identity-init can't hide
+    # conversion bugs in those leaves
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if p.ndim == 1:
+                p.add_(torch.randn_like(p) * 0.05)
+
+    x = torch.randn(1, 3, 256, 256)
+    with torch.no_grad():
+        ref_db, ref_mask = net(x)
+
+    params = convert_state_dict(
+        net.state_dict(),
+        transposed_conv_patterns=dbnet_convnext.TRANSPOSED_CONV_PATTERNS)
+    # converted params must cover exactly the random-init key space
+    assert set(params) == set(dbnet_convnext.init_params()), (
+        set(params) ^ set(dbnet_convnext.init_params()))
+    db, mask = jax.jit(dbnet_convnext.dbnet_convnext_forward)(
+        params, nhwc_in(x))
+    np.testing.assert_allclose(nchw(db), ref_db.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(nchw(mask), ref_mask.numpy(),
+                               rtol=1e-3, atol=2e-3)
