@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.bilateral import bilateral_filter
-from ..ops.crf import crf_refine
+from ..ops.crf import crf_refine_batch
 from ..utils.bubble import is_ignore
 from ..utils.geometry import Quadrilateral
 from ..utils.textblock import TextBlock
@@ -56,19 +56,63 @@ def _bucket(v: int, step: int = 64, cap: int = 1024) -> int:
 
 def refine_mask(rgbimg: np.ndarray, rawmask: np.ndarray) -> np.ndarray:
     """Device CRF refinement of one textline crop (replaces pydensecrf)."""
-    h, w = rawmask.shape[:2]
-    bh, bw = _bucket(h), _bucket(w)
-    h, w = min(h, bh), min(w, bw)
-    # edge-replicated padding: zero padding would inject confident
-    # background pixels whose color can alias with the text strokes
-    img_p = np.pad(rgbimg[:h, :w], ((0, bh - h), (0, bw - w), (0, 0)),
-                   mode='edge')
-    mask_p = np.pad(rawmask[:h, :w].astype(np.float32) / 255.0,
-                    ((0, bh - h), (0, bw - w)), mode='edge')
-    out = crf_refine(jnp.asarray(img_p), jnp.asarray(mask_p),
-                     num_iters=5, radius=23, stride=3)
-    res = (np.asarray(out[:h, :w]) > 0.5).astype(np.uint8) * 255
-    return res
+    return refine_masks_batched([(rgbimg, rawmask)])[0]
+
+
+def _pad_n(n: int) -> int:
+    """Batch sizes CRF crop batches are padded up to (bounds compiles)."""
+    for s in (1, 2, 4, 8, 16, 32):
+        if s >= n:
+            return s
+    return -(-n // 32) * 32
+
+
+def refine_masks_batched(jobs) -> List[np.ndarray]:
+    """Device CRF refinement of many textline crops in few dispatches.
+
+    ``jobs``: list of ``(rgb (h,w,3) uint8, rawmask (h,w) uint8)``; returns
+    refined uint8 masks in job order. The reference refines each textline
+    with its own pydensecrf call (text_mask_utils.py:96-195); dispatching a
+    device kernel per line costs ~4 synchronous host<->device interactions
+    each. Here same-bucket crops stack into ONE batched kernel call and
+    every bucket's call is dispatched before any result is pulled, so a
+    ~24-line page needs a handful of round trips instead of ~100.
+    """
+    padded = []
+    groups: dict = {}
+    for idx, (rgbimg, rawmask) in enumerate(jobs):
+        h, w = rawmask.shape[:2]
+        bh, bw = _bucket(h), _bucket(w)
+        h, w = min(h, bh), min(w, bw)
+        # edge-replicated padding: zero padding would inject confident
+        # background pixels whose color can alias with the text strokes
+        img_p = np.pad(rgbimg[:h, :w], ((0, bh - h), (0, bw - w), (0, 0)),
+                       mode='edge')
+        mask_p = np.pad(rawmask[:h, :w].astype(np.float32) / 255.0,
+                        ((0, bh - h), (0, bw - w)), mode='edge')
+        padded.append((img_p, mask_p, h, w))
+        groups.setdefault((bh, bw), []).append(idx)
+
+    pending = []
+    for (bh, bw), idxs in groups.items():
+        n_pad = _pad_n(len(idxs))
+        imgs = np.zeros((n_pad, bh, bw, 3), np.uint8)
+        masks = np.zeros((n_pad, bh, bw), np.float32)
+        for row, idx in enumerate(idxs):
+            imgs[row] = padded[idx][0]
+            masks[row] = padded[idx][1]
+        out = crf_refine_batch(jnp.asarray(imgs), jnp.asarray(masks),
+                               num_iters=5, radius=23, stride=3)
+        pending.append((idxs, out))
+
+    results: List[Optional[np.ndarray]] = [None] * len(jobs)
+    for idxs, out in pending:
+        out_np = np.asarray(out)
+        for row, idx in enumerate(idxs):
+            h, w = padded[idx][2], padded[idx][3]
+            results[idx] = ((out_np[row, :h, :w] > 0.5)
+                            .astype(np.uint8) * 255)
+    return results
 
 
 def complete_mask_fill(mask_shape, text_lines) -> np.ndarray:
@@ -142,6 +186,12 @@ def complete_mask(img: np.ndarray, mask: np.ndarray,
 
     final_mask = np.zeros_like(mask)
     img = np.asarray(bilateral_filter(jnp.asarray(img), 17, 80.0, 80.0))
+    # Phase 1 (host): collect every textline's CRF crop. Phase 2 (device):
+    # refine them all in a few batched dispatches. Phase 3 (host): dilate
+    # and composite. A per-line refine loop would serialize ~4 device round
+    # trips per textline (see refine_masks_batched).
+    jobs = []
+    meta = []
     for i, cc in enumerate(textline_ccs):
         x1, y1, w1, h1 = [int(v) for v in textline_rects[i]]
         if w1 <= 0 or h1 <= 0:
@@ -151,13 +201,18 @@ def complete_mask(img: np.ndarray, mask: np.ndarray,
                                      img.shape[0], int(text_size * 0.1))
         dilate_size = max((int((text_size + dilation_offset) * 0.3) // 2)
                           * 2 + 1, 3)
-        kern = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
-                                         (dilate_size, dilate_size))
         cc_region = np.ascontiguousarray(cc[y1:y1 + h1, x1:x1 + w1])
         if cc_region.size == 0:
             continue
         img_region = np.ascontiguousarray(img[y1:y1 + h1, x1:x1 + w1])
-        cc_region = refine_mask(img_region, cc_region)
+        jobs.append((img_region, cc_region))
+        meta.append((i, x1, y1, w1, h1, dilate_size))
+
+    refined = refine_masks_batched(jobs)
+    for (i, x1, y1, w1, h1, dilate_size), cc_region in zip(meta, refined):
+        cc = textline_ccs[i]
+        kern = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
+                                         (dilate_size, dilate_size))
         cc[y1:y1 + h1, x1:x1 + w1] = cc_region
         x2, y2, w2, h2 = extend_rect(x1, y1, w1, h1, img.shape[1],
                                      img.shape[0], -(-dilate_size // 2))

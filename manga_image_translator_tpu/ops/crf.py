@@ -88,6 +88,21 @@ def crf_refine(rgb: jax.Array, prob_fg: jax.Array, num_iters: int = 5,
     return q[..., 1]
 
 
-def crf_refine_batch(rgb: jax.Array, prob_fg: jax.Array, **kw) -> jax.Array:
-    """vmapped CRF over a batch of equally-sized crops: (N,H,W,3),(N,H,W)."""
-    return jax.vmap(lambda im, p: crf_refine(im, p, **kw))(rgb, prob_fg)
+@functools.partial(jax.jit, static_argnames=(
+    'num_iters', 'radius', 'stride', 'sxy_gauss', 'compat_gauss',
+    'sxy_bilateral', 'srgb', 'compat_bilateral'))
+def crf_refine_batch(rgb: jax.Array, prob_fg: jax.Array,
+                     num_iters: int = 5, radius: int = 31, stride: int = 2,
+                     sxy_gauss: float = 1.0, compat_gauss: float = 3.0,
+                     sxy_bilateral: float = 23.0, srgb: float = 7.0,
+                     compat_bilateral: float = 20.0) -> jax.Array:
+    """vmapped CRF over a batch of equally-sized crops: (N,H,W,3),(N,H,W).
+
+    Jitted at this level so an eager call is ONE cached dispatch (the
+    batched mask-refinement path issues one of these per crop bucket and
+    collects results only after every bucket is in flight)."""
+    return jax.vmap(lambda im, p: crf_refine(
+        im, p, num_iters=num_iters, radius=radius, stride=stride,
+        sxy_gauss=sxy_gauss, compat_gauss=compat_gauss,
+        sxy_bilateral=sxy_bilateral, srgb=srgb,
+        compat_bilateral=compat_bilateral))(rgb, prob_fg)
