@@ -747,7 +747,7 @@ def _pallas_harness(params: Dict, dtype, max_len: int,
 
     def init(memory_b, nk, mask_b):
         m = memory_b.shape[1]
-        m_pad = -(-m // pd.CH) * pd.CH
+        m_pad = pd.round_m(m)
         base = init_caches(params, memory_b, nk, 1)   # mem K/V projections
         if m_pad != m:
             mask_b = jnp.concatenate(
@@ -1036,13 +1036,22 @@ def compute_memory(params: Dict, images: jax.Array,
     feeding two 24-crop decode loops is cheaper than two fused
     backbone+decode programs. Composing ``compute_memory`` +
     ``beam_decode_from_memory`` is exactly ``beam_decode``."""
+    # bf16 activations (default on): the f32 backbone runs at 6-19% MXU
+    # utilization and is activation-bandwidth-bound (r4 xprof; r5 A/B in
+    # devscripts/profiling/ocr_backbone_bf16_ab.py). Matmul/conv
+    # accumulation stays f32 via preferred_element_type; the decode side
+    # consumes the memory in bf16 regardless (prepare_mem). Opt out with
+    # MIT_TPU_OCR_BF16_BACKBONE=0 (e.g. for f32 oracle comparisons).
+    in_dtype = images.dtype
+    if os.environ.get('MIT_TPU_OCR_BF16_BACKBONE', '1') != '0':
+        images = images.astype(jnp.bfloat16)
     memory = convnext_features(P(params).scope('backbone'), images)
     mem_len = memory.shape[1]
     valid_feats = (valid_widths + 3) // 4 + 2
     memory_mask = (jnp.arange(mem_len)[None, :]
                    >= jnp.minimum(valid_feats, mem_len)[:, None])
     memory = encoder_forward(params, memory, memory_mask)
-    return memory, memory_mask
+    return memory.astype(in_dtype), memory_mask
 
 
 @functools.partial(jax.jit,

@@ -55,7 +55,13 @@ H = 4
 HD = 80
 L = 5
 FF = 2048
-CH = 8            # cache chunk rows streamed per DMA
+CH = 8            # causal cache chunk rows streamed per DMA
+# Cross-attention chunk rows: the memory K/V have no step dependence, so
+# wider chunks amortize the per-chunk issue overhead (measured 13.5 us
+# per 8-row chunk vs a 9.0 us DMA floor at n=120 — ocr_cross_marginal).
+# The kernel falls back to CH when m_len is not a CHX multiple (legacy
+# callers round to CH).
+CHX = int(os.environ.get('MIT_TPU_OCR_CROSS_CH', '24'))
 
 NEG = -1e9        # additive mask value (finite: -inf breeds NaNs in the
                   # online-softmax rescale)
@@ -154,11 +160,11 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
         # aliased in-place cache outputs (same HBM as selfk/v_hbm)
         selfk_out = rest.pop(0)
         selfv_out = rest.pop(0)
-    kbuf, vbuf, wbuf, ff1buf, ff2buf = rest[:5]
-    rest = rest[5:]
+    kbuf, vbuf, kxbuf, vxbuf, wbuf, ff1buf, ff2buf = rest[:7]
+    rest = rest[7:]
     pbuf = rest.pop(0) if vp else None
-    ksem, vsem, wsem, ffsem = rest[:4]
-    rest = rest[4:]
+    ksem, vsem, kxsem, vxsem, wsem, ffsem = rest[:6]
+    rest = rest[6:]
     psem = rest.pop(0) if vp else None
     if fused_gather:
         wbk_sem = rest.pop(0)
@@ -179,13 +185,9 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
     cq_sin = rots_ref[4:5, :].astype(jnp.bfloat16)
     cq_cos = rots_ref[5:6, :].astype(jnp.bfloat16)
 
-    def dma_k(hbm, l, c, slot):
-        return pltpu.make_async_copy(
-            hbm.at[l, pl.ds(c * CH, CH)], kbuf.at[slot], ksem.at[slot])
-
-    def dma_v(hbm, l, c, slot):
-        return pltpu.make_async_copy(
-            hbm.at[l, pl.ds(c * CH, CH)], vbuf.at[slot], vsem.at[slot])
+    # cross chunk width: CHX when the (static) memory length allows it,
+    # legacy CH otherwise — decided at trace time
+    chx = CHX if m_len % CHX == 0 else CH
 
     def dma_ff(l):
         return (pltpu.make_async_copy(ff1_hbm.at[l], ff1buf, ffsem.at[0]),
@@ -202,8 +204,10 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
 
     tgt = tgt_ref[:]
 
-    def attention(q_rot, hbm_k, hbm_v, l, n_chunks, causal, kr, vr):
-        """Single-pass online-softmax attention over streamed chunks;
+    def attention(q_rot, hbm_k, hbm_v, l, n_chunks, causal, kr, vr,
+                  ch, kb, vb, ks, vs):
+        """Single-pass online-softmax attention over streamed chunks of
+        ``ch`` rows (CH on the causal pass, chx on the cross pass);
         returns (n, EP) f32 (pad lanes zero). Running max / denominator
         stay per-(n, H) in vregs — nothing score-shaped ever hits VMEM.
 
@@ -213,11 +217,19 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
         full-S read+write round trip disappear; the kernel touches only
         the chunks the causal pass visits anyway."""
         if causal:
-            n_needed = (step + CH) // CH          # dynamic trip count
+            n_needed = (step + ch) // ch          # dynamic trip count
         else:
             n_needed = n_chunks
         do_permute = causal and fused_gather and _PERM_DEBUG != 'skip'
         do_writeback = do_permute and _PERM_DEBUG != 'nowb'
+
+        def dma_k(c, slot):
+            return pltpu.make_async_copy(
+                hbm_k.at[l, pl.ds(c * ch, ch)], kb.at[slot], ks.at[slot])
+
+        def dma_v(c, slot):
+            return pltpu.make_async_copy(
+                hbm_v.at[l, pl.ds(c * ch, ch)], vb.at[slot], vs.at[slot])
 
         def body(c, carry):
             m_run, l_run, acc = carry
@@ -226,65 +238,65 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
             @pl.when(c + 1 < n_needed)
             def _prefetch():
                 nslot = jax.lax.rem(c + 1, 2)
-                dma_k(hbm_k, l, c + 1, nslot).start()
-                dma_v(hbm_v, l, c + 1, nslot).start()
+                dma_k(c + 1, nslot).start()
+                dma_v(c + 1, nslot).start()
 
-            dma_k(hbm_k, l, c, slot).wait()
-            dma_v(hbm_v, l, c, slot).wait()
-            lo = c * CH
+            dma_k(c, slot).wait()
+            dma_v(c, slot).wait()
+            lo = c * ch
             if do_permute:
                 pm = perm_ref[:]
-                for rr in range(CH):
-                    kbuf[slot, rr] = _mm(pm, kbuf[slot, rr]).astype(
+                for rr in range(ch):
+                    kb[slot, rr] = _mm(pm, kb[slot, rr]).astype(
                         jnp.bfloat16)
-                    vbuf[slot, rr] = _mm(pm, vbuf[slot, rr]).astype(
+                    vb[slot, rr] = _mm(pm, vb[slot, rr]).astype(
                         jnp.bfloat16)
             if causal:
-                in_chunk = (step >= lo) & (step < lo + CH)
+                in_chunk = (step >= lo) & (step < lo + ch)
 
                 @pl.when(in_chunk)
                 def _():
-                    kbuf[slot, step - lo] = kr
-                    vbuf[slot, step - lo] = vr
+                    kb[slot, step - lo] = kr
+                    vb[slot, step - lo] = vr
             if do_writeback:
                 pltpu.make_async_copy(
-                    kbuf.at[slot], selfk_out.at[l, pl.ds(lo, CH)],
+                    kb.at[slot], selfk_out.at[l, pl.ds(lo, ch)],
                     wbk_sem.at[slot]).start()
                 pltpu.make_async_copy(
-                    vbuf.at[slot], selfv_out.at[l, pl.ds(lo, CH)],
+                    vb.at[slot], selfv_out.at[l, pl.ds(lo, ch)],
                     wbv_sem.at[slot]).start()
 
-            prod = kbuf[slot] * q_rot[None]
-            sc = _mm(prod.reshape(CH * n, EP).astype(jnp.bfloat16),
-                     seg).reshape(CH, n, H)
+            prod = kb[slot] * q_rot[None]
+            sc = _mm(prod.reshape(ch * n, EP).astype(jnp.bfloat16),
+                     seg).reshape(ch, n, H)
             if causal:
-                row = (jax.lax.broadcasted_iota(jnp.int32, (CH, n, H), 0)
+                row = (jax.lax.broadcasted_iota(jnp.int32, (ch, n, H), 0)
                        + lo)
                 sc = jnp.where(row > step, NEG, sc)
 
             m_new = jnp.maximum(m_run, jnp.max(sc, axis=0))
             alpha = jnp.exp(m_run - m_new)                  # (n, H)
-            p = jnp.exp(sc - m_new[None])                   # (CH, n, H)
+            p = jnp.exp(sc - m_new[None])                   # (ch, n, H)
             l_new = l_run * alpha + jnp.sum(p, axis=0)
-            w_e = _mm(p.reshape(CH * n, H).astype(jnp.bfloat16),
-                      segv).reshape(CH, n, EP)
+            w_e = _mm(p.reshape(ch * n, H).astype(jnp.bfloat16),
+                      segv).reshape(ch, n, EP)
             scale = _mm(alpha.astype(jnp.bfloat16), segv)   # (n, EP)
             acc = acc * scale + jnp.sum(
-                w_e * vbuf[slot].astype(jnp.float32), axis=0)
+                w_e * vb[slot].astype(jnp.float32), axis=0)
             if do_writeback:
                 # drain the write-back before this slot can be prefetched
                 # into two iterations from now (it overlapped the score
                 # math above)
                 pltpu.make_async_copy(
-                    kbuf.at[slot], selfk_out.at[l, pl.ds(lo, CH)],
+                    kb.at[slot], selfk_out.at[l, pl.ds(lo, ch)],
                     wbk_sem.at[slot]).wait()
                 pltpu.make_async_copy(
-                    vbuf.at[slot], selfv_out.at[l, pl.ds(lo, CH)],
+                    vb.at[slot], selfv_out.at[l, pl.ds(lo, ch)],
                     wbv_sem.at[slot]).wait()
             return m_new, l_new, acc
 
-        dma_k(hbm_k, l, 0, 0).start()
-        dma_v(hbm_v, l, 0, 0).start()
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
         m0 = jnp.full((n, H), NEG, jnp.float32)
         l0 = jnp.zeros((n, H), jnp.float32)
         acc0 = jnp.zeros((n, EP), jnp.float32)
@@ -325,7 +337,8 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
         vnew_ref[l] = v
 
         attn = attention(qr, selfk_hbm, selfv_hbm, l, s_len // CH,
-                         True, kr, v).astype(jnp.bfloat16)
+                         True, kr, v, CH, kbuf, vbuf, ksem,
+                         vsem).astype(jnp.bfloat16)
         tgt = (tgt.astype(jnp.float32)
                + _mm(attn, wsl(3)) + bsl(3)).astype(jnp.bfloat16)
 
@@ -335,8 +348,9 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
             jnp.bfloat16)
         q2 = (_mm(xn2, wsl(4)) + bsl(4)).astype(jnp.bfloat16)
         q2r = rot(q2, cq_sin, cq_cos)
-        attn2 = attention(q2r, memk_hbm, memv_hbm, l, m_len // CH,
-                          False, None, None).astype(jnp.bfloat16)
+        attn2 = attention(q2r, memk_hbm, memv_hbm, l, m_len // chx,
+                          False, None, None, chx, kxbuf, vxbuf, kxsem,
+                          vxsem).astype(jnp.bfloat16)
         tgt = (tgt.astype(jnp.float32)
                + _mm(attn2, wsl(5)) + bsl(5)).astype(jnp.bfloat16)
 
@@ -377,6 +391,14 @@ def _decode_kernel(step_ref, tgt_ref, perm_ref, rots_ref, bbig_ref,
         chunk = _mm(h, pbuf[v % 2]).astype(jnp.bfloat16)
         logits_ref[:, v * vch:(v + 1) * vch] = (
             chunk.astype(jnp.float32) + bout_ref[0:1, v * vch:(v + 1) * vch])
+
+
+def round_m(m: int) -> int:
+    """Round a memory length up so it divides into chx-row cross chunks
+    (lcm of CH and CHX keeps the legacy CH fallback exact too)."""
+    import math
+    step = CH * CHX // math.gcd(CH, CHX)
+    return -(-m // step) * step
 
 
 def _vocab_chunk(vp: int) -> int:
@@ -424,14 +446,17 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
         jax.ShapeDtypeStruct((L, n, EP), jnp.bfloat16),
     ]
+    chx = CHX if m_len % CHX == 0 else CH
     scratch = [
-        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # k chunks
-        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # v chunks
+        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # self k chunks
+        pltpu.VMEM((2, CH, n, EP), jnp.bfloat16),     # self v chunks
+        pltpu.VMEM((2, chx, n, EP), jnp.bfloat16),    # cross k chunks
+        pltpu.VMEM((2, chx, n, EP), jnp.bfloat16),    # cross v chunks
         pltpu.VMEM((2, EP, 6 * EP), jnp.bfloat16),    # dense-pack x2
         pltpu.VMEM((EP, FF), jnp.bfloat16),           # ff1
         pltpu.VMEM((FF, EP), jnp.bfloat16),           # ff2
     ]
-    sems = [pltpu.SemaphoreType.DMA((2,))] * 4
+    sems = [pltpu.SemaphoreType.DMA((2,))] * 6
     if perm is None:
         perm = jnp.zeros((n, n), jnp.bfloat16)
     args = [jnp.reshape(step.astype(jnp.int32), (1, 1)), tgt, perm, rots,
@@ -473,9 +498,10 @@ def decode_step_pallas(step, tgt, rots, weights: Dict, self_k, self_v,
         scratch_shapes=scratch + sems,
         input_output_aliases=io_aliases,
         # the S=256 second-tier decode at n=160 sits ~100KB over the 16MB
-        # default scoped-vmem budget (measured crash on v5e); grant the
-        # small headroom the allocator needs for its stack
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=17 << 20),
+        # default scoped-vmem budget (measured crash on v5e), and the
+        # double-buffered chx-row cross chunks add up to ~12MB at n=160;
+        # grant the headroom (v5e VMEM is 128MB/core)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=34 << 20),
         interpret=interpret,
     )(*args)
     res = list(res)

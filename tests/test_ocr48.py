@@ -296,3 +296,30 @@ def test_deferred_colors_matches_eager(params, monkeypatch):
         np.testing.assert_array_equal(np.asarray(rets['0'][key]),
                                       np.asarray(rets['1'][key]),
                                       err_msg=key)
+
+
+def test_bf16_backbone_sequences_match_f32(params, monkeypatch):
+    """MIT_TPU_OCR_BF16_BACKBONE (default on): the bf16-activation
+    backbone/encoder must keep the decoded sequences of the f32 path on
+    the seeded probe workload, and the memory drift must stay small
+    relative to the f32 magnitudes (accumulation is f32 either way —
+    only storage/elementwise precision changes)."""
+    rs = np.random.RandomState(13)
+    imgs = jnp.asarray(rs.rand(4, 48, 64, 3).astype(np.float32) * 2 - 1)
+    widths = jnp.asarray([40, 64, 52, 36])
+
+    mems, rets = {}, {}
+    for mode in ('0', '1'):
+        monkeypatch.setenv('MIT_TPU_OCR_BF16_BACKBONE', mode)
+        mems[mode] = np.asarray(
+            ocr48.compute_memory.__wrapped__(params, imgs, widths)[0]
+            if hasattr(ocr48.compute_memory, '__wrapped__')
+            else ocr48.compute_memory(params, imgs, widths)[0],
+            np.float32)
+        rets[mode] = ocr48.beam_decode.__wrapped__(
+            params, imgs, widths, beams_k=3, max_len=10)
+    scale = np.abs(mems['0']).mean()
+    drift = np.abs(mems['0'] - mems['1']).max()
+    assert drift < 0.15 * max(scale, 1e-3), (drift, scale)
+    np.testing.assert_array_equal(np.asarray(rets['0']['sequences']),
+                                  np.asarray(rets['1']['sequences']))

@@ -10,8 +10,11 @@ from manga_image_translator_tpu.models import ocr48
 from manga_image_translator_tpu.ops import pallas_decode as pd
 
 
-def test_pallas_decode_matches_reference():
-    n, S, M = 8, 32, 16
+@pytest.mark.parametrize('M', [16, 48])
+def test_pallas_decode_matches_reference(M):
+    """M=16 exercises the legacy CH-row cross chunks; M=48 (a CHX
+    multiple) exercises the wide chx-row cross-chunk path."""
+    n, S = 8, 32
     params = ocr48.init_params(dict_size=64)
     rs = np.random.RandomState(3)
     memory = jnp.asarray(rs.randn(n, M, ocr48.EMBD_DIM)
